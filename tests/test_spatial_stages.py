@@ -1,0 +1,201 @@
+"""PIP join, kNN join, as-of join, sessionize, zonal mode — golden tests
+against brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raster_processor_ray.geo import crs
+from raster_processor_ray.stages.asof import asof_join
+from raster_processor_ray.stages.knn import KnnIndex, knn_join
+from raster_processor_ray.stages.pip import PipJoin, PolygonIndex, PolygonSpec, pip_join
+from raster_processor_ray.stages.sessionize import session_stats, sessionize
+from raster_processor_ray.aggregate.zonal import zonal_mode
+
+RNG = np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def points():
+    n = 5000
+    return pd.DataFrame({
+        "url": [f"u{i}" for i in range(n)],
+        "lat": RNG.uniform(-10, 10, n),
+        "lon": RNG.uniform(-10, 10, n),
+    })
+
+
+# vertices use non-grid-aligned coordinates so no generated point sits on
+# an edge (documented tie-rule guard, FIXTURES.md F3)
+SQUARE = PolygonSpec(1, "square", np.array(
+    [[-5.1234, -5.2345], [5.2345, -5.2345], [5.2345, 5.1234], [-5.1234, 5.1234]]))
+TRIANGLE = PolygonSpec(2, "triangle", np.array(
+    [[-8.0123, -8.1234], [8.1234, -8.1234], [0.0123, 9.0123]]))
+CONCAVE = PolygonSpec(3, "concave", np.array(
+    [[-3.0111, -3.0222], [3.0222, -3.0111], [3.0111, 3.0222],
+     [0.0111, 0.0222], [-3.0222, 3.0111]]))
+HOLED = PolygonSpec(4, "holed", np.array(
+    [[-9.5012, -9.5023], [9.5023, -9.5012], [9.5012, 9.5023], [-9.5023, 9.5012]]),
+    holes=[np.array([[-1.0123, -1.0234], [1.0234, -1.0123], [1.0123, 1.0234],
+                     [-1.0234, 1.0123]])])
+ANTIMERIDIAN = PolygonSpec(5, "antimeridian", np.array(
+    [[175.0123, -5.0123], [185.0234, -5.0123], [185.0234, 5.0234], [175.0123, 5.0234]]))
+
+POLYS = [SQUARE, TRIANGLE, CONCAVE, HOLED, ANTIMERIDIAN]
+
+
+def pip_oracle(lat, lon, poly: PolygonSpec) -> np.ndarray:
+    """Independent scalar even-odd ray casting (classic C algorithm)."""
+    def point_in_ring(x, y, ring):
+        inside = False
+        r = ring if np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+        j = len(r) - 2
+        for i in range(len(r) - 1):
+            xi, yi = r[i]
+            xj, yj = r[j]
+            if ((yi > y) != (yj > y)) and (x < (xj - xi) * (y - yi) / (yj - yi) + xi):
+                inside = not inside
+            j = i
+        return inside
+
+    frame = poly.exterior[:, 0].min()
+    out = []
+    for la, lo in zip(lat, lon):
+        x = frame + ((lo - frame) % 360.0)
+        r = point_in_ring(x, la, poly.exterior)
+        for h in poly.holes:
+            if point_in_ring(x, la, h):
+                r = not r
+        out.append(r)
+    return np.array(out)
+
+
+class TestPip:
+    def test_index_vs_oracle(self, points):
+        idx = PolygonIndex(POLYS)
+        for k, poly in enumerate(POLYS):
+            got = idx.contains(points.lat.to_numpy(), points.lon.to_numpy(), k)
+            want = pip_oracle(points.lat.to_numpy(), points.lon.to_numpy(), poly)
+            np.testing.assert_array_equal(got, want, err_msg=poly.label)
+            if poly.label != "antimeridian":
+                assert want.any()  # fixture actually covers each polygon
+
+    def test_antimeridian(self):
+        idx = PolygonIndex([ANTIMERIDIAN])
+        # -178 wraps to 182, inside; 170 outside
+        got = idx.contains(np.array([0.0, 0.0]), np.array([-178.0, 170.0]), 0)
+        assert list(got) == [True, False]
+
+    def test_inner_join_rows(self, points, ray_session):
+        ds = rd.from_pandas(points).repartition(4)
+        out = pip_join(ds, POLYS, "inner").to_pandas()
+        # oracle pair set
+        want = set()
+        for poly in POLYS:
+            m = pip_oracle(points.lat.to_numpy(), points.lon.to_numpy(), poly)
+            for u in points.url.to_numpy()[m]:
+                want.add((u, poly.poly_id))
+        got = set(zip(out.url, out.poly_id))
+        assert got == want
+        # labels consistent
+        lbl = {p.poly_id: p.label for p in POLYS}
+        assert all(lbl[pid] == l for pid, l in zip(out.poly_id, out.label))
+
+    def test_semi_anti_partition(self, points, ray_session):
+        ds = rd.from_pandas(points).repartition(4)
+        semi = pip_join(ds, POLYS, "semi").to_pandas()
+        anti = pip_join(ds, POLYS, "anti").to_pandas()
+        assert len(semi) + len(anti) == len(points)
+        assert set(semi.url) | set(anti.url) == set(points.url)
+        assert not (set(semi.url) & set(anti.url))
+        # semi/anti keep columns unchanged
+        assert list(semi.columns) == list(points.columns)
+
+
+class TestKnn:
+    def test_vs_bruteforce(self, points, ray_session):
+        sites = pd.DataFrame({
+            "site_id": np.arange(50, dtype=np.int64),
+            "lat": RNG.uniform(-12, 12, 50),
+            "lon": RNG.uniform(-12, 12, 50),
+        })
+        ds = rd.from_pandas(points.head(500)).repartition(3)
+        out = knn_join(ds, sites.site_id.to_numpy(), sites.lat.to_numpy(),
+                       sites.lon.to_numpy(), k=3).to_pandas()
+        assert len(out) == 500 * 3
+        # oracle: same dot-product metric, argsort with site_id tie-break
+        idx = KnnIndex(sites.site_id.to_numpy(), sites.lat.to_numpy(), sites.lon.to_numpy())
+        for u in points.url.head(20):
+            row = points[points.url == u].iloc[0]
+            px, py, pz = (np.cos(np.radians(row.lat)) * np.cos(np.radians(row.lon)),
+                          np.cos(np.radians(row.lat)) * np.sin(np.radians(row.lon)),
+                          np.sin(np.radians(row.lat)))
+            dots = idx.xyz @ np.array([px, py, pz])
+            order = np.lexsort((idx.site_ids, -dots))[:3]
+            want = idx.site_ids[order]
+            got = out[out.url == u].sort_values("knn_rank").site_id.to_numpy()
+            np.testing.assert_array_equal(got, want)
+
+    def test_distances_monotone(self, points, ray_session):
+        sites = pd.DataFrame({"site_id": [1, 2], "lat": [0.0, 50.0], "lon": [0.0, 50.0]})
+        ds = rd.from_pandas(points.head(50))
+        out = knn_join(ds, sites.site_id.to_numpy(), sites.lat.to_numpy(),
+                       sites.lon.to_numpy(), k=2).to_pandas()
+        g = out.sort_values(["url", "knn_rank"]).groupby("url").dist_m.apply(
+            lambda s: (s.diff().dropna() >= 0).all())
+        assert g.all()
+        # cross-check one distance against haversine
+        r0 = out[(out.url == "u0")].sort_values("knn_rank").iloc[0]
+        site = sites[sites.site_id == r0.site_id].iloc[0]
+        p = points[points.url == "u0"].iloc[0]
+        want = crs.haversine_m(p.lat, p.lon, site.lat, site.lon)
+        assert abs(r0.dist_m - want) < 1.0  # same sphere, different formula path
+
+
+class TestAsof:
+    def test_directions(self, ray_session):
+        left = pd.DataFrame({"id": np.arange(100), "t": np.sort(RNG.uniform(0, 100, 100))})
+        rt = np.array([10.0, 30.0, 50.0, 90.0])
+        payload = {"dim": np.array([1, 2, 3, 4])}
+        ds = rd.from_pandas(left).repartition(3)
+        for direction in ("backward", "forward", "nearest"):
+            got = asof_join(ds, rt, payload, "t", direction).to_pandas().sort_values("id")
+            mdf = pd.merge_asof(left.sort_values("t"),
+                                pd.DataFrame({"t": rt, "dim_r": payload["dim"]}),
+                                on="t", direction=direction)
+            want = mdf.sort_values("id").dim_r.to_numpy(dtype=np.float64)
+            np.testing.assert_array_equal(
+                got.dim_r.to_numpy(dtype=np.float64), want, err_msg=direction)
+
+
+class TestSessionize:
+    def test_gap_split(self, ray_session):
+        df = pd.DataFrame({
+            "user": ["a"] * 5 + ["b"] * 3,
+            "ts": [0.0, 1.0, 2.0, 50.0, 51.0, 5.0, 100.0, 101.0],
+            "v": np.arange(8, dtype=np.float64),
+        })
+        ds = rd.from_pandas(df)
+        got = sessionize(ds, "user", "ts", 10.0).to_pandas().sort_values(["user", "ts"])
+        want_a = [0, 0, 0, 1, 1]
+        want_b = [0, 1, 1]
+        assert list(got[got.user == "a"].session_seq) == want_a
+        assert list(got[got.user == "b"].session_seq) == want_b
+
+        stats = session_stats(ds, "user", "ts", 10.0, "v").to_pandas()
+        a1 = stats[(stats.user == "a") & (stats.session_seq == 1)].iloc[0]
+        assert a1.n_events == 2 and a1.session_start == 50.0 and a1.sum_value == 7.0
+
+
+class TestZonal:
+    def test_mode_with_ties(self, ray_session):
+        df = pd.DataFrame({
+            "grid_cell": [1, 1, 1, 2, 2, 3],
+            "label": ["x", "x", "y", "y", "a", "z"],
+        })
+        got = zonal_mode(rd.from_pandas(df)).to_pandas().sort_values("grid_cell")
+        assert list(got.mode_label) == ["x", "a", "z"]  # tie in cell 2 -> 'a'
+        assert list(got.mode_count) == [2, 1, 1]
