@@ -1,0 +1,751 @@
+"""The engine's query suite over the driver testdata (TESTDATA.md), with
+matching DuckDB oracle SQL for every SQL-expressible pipeline.
+
+Each entry exercises one operator family from SURVEY.md §2 as an idiomatic
+Ray Data pipeline; the SQL string computes the identical result (identical
+column NAMES and value semantics) for the driver's side-by-side check.
+
+Determinism rules shared by both sides (see geo.hashing / geo.cells):
+
+- geotag: integer-arithmetic formulas (GEOTAG_INT_SQL_*) — exact in
+  float64, bit-identical between NumPy and DuckDB;
+- cells: floor-binning (``floor_cell_sql``) — floor, not round, because
+  DuckDB rounds half-away-from-zero while NumPy rounds half-to-even;
+- aggregated floats are rounded in BOTH engines (sums of doubles are
+  order-sensitive in the last bits); row-level computed floats are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..aggregate.relational import broadcast_lookup, hash_aggregate, topk
+from ..aggregate.zonal import zonal_mode
+from ..geo.cells import floor_cell, floor_cell_sql
+from ..geo.hashing import (GEOTAG_INT_SQL_LAT, GEOTAG_INT_SQL_LON,
+                           geotag_from_int)
+from ..sources.tables import read_table
+from ..stages.asof import asof_join
+from ..stages.dedup import exact_dedup, minhash_lsh_candidates, simhash_batch
+from ..stages.knn import knn_join
+from ..stages.pip import PolygonSpec, pip_join
+from ..stages.text import LangId, QualityScore, token_count_batch
+
+SQL_LAT = GEOTAG_INT_SQL_LAT.format(id="doc_id", salt=0)
+SQL_LON = GEOTAG_INT_SQL_LON.format(id="doc_id", salt=0)
+CELL_SQL = floor_cell_sql(SQL_LAT, SQL_LON, 1.0)
+
+# polygon fixtures (non-round vertices: no generated point lies on an edge)
+BOX = dict(lon_min=-20.0123, lon_max=60.4567, lat_min=-45.1234, lat_max=30.9876)
+TRI = np.array([[-120.1234, -60.2345], [-30.4567, -70.3456], [-60.7890, 20.4567]])
+KNN_SITES = pd.DataFrame({
+    "site_id": np.array([1, 2, 3], dtype=np.int64),
+    "lat": [40.7128, 51.5074, 35.6762],
+    "lon": [-74.0060, -0.1278, 139.6503],
+})
+ASOF_DIM_TS = np.array(["2024-01-01", "2024-01-08", "2024-01-15",
+                        "2024-01-22", "2024-01-29"], dtype="datetime64[us]")
+ASOF_DIM_ID = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+ANN_QUERY = np.array([((i * 37) % 19 - 9) / 10.0 for i in range(64)])
+
+
+def _docs_with_geo(sf_dir: str):
+    """documents + deterministic (lat, lon) and floor cell columns."""
+    def add(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        lat, lon = geotag_from_int(ids)
+        b = b.append_column("lat", pa.array(lat))
+        b = b.append_column("lon", pa.array(lon))
+        return b.append_column("cell", pa.array(floor_cell(lat, lon, 1.0)))
+
+    return read_table(sf_dir, "documents",
+                      columns=["doc_id", "n_chars", "lang"]) \
+        .map_batches(add, batch_format="pyarrow")
+
+
+def _round_cols(ds_or_df, cols: dict[str, int]):
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        for c, d in cols.items():
+            df[c] = df[c].round(d)
+        return df
+    if isinstance(ds_or_df, pd.DataFrame):
+        return rnd(ds_or_df)
+    return ds_or_df.map_batches(rnd, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# spatial: tiling / rasterization
+# ---------------------------------------------------------------------------
+
+def q_tile_count_mean(sf_dir: str):
+    """J1 + A1/A2: geotag -> cell binning -> per-cell count + masked mean."""
+    ds = _docs_with_geo(sf_dir)
+    out = hash_aggregate(ds, "cell", {
+        "n": (None, "count"),
+        "mean_n_chars": ("n_chars", "mean"),
+    })
+    return _round_cols(out, {"mean_n_chars": 6})
+
+
+SQL_TILE_COUNT_MEAN = f"""
+SELECT {CELL_SQL} AS cell, count(*) AS n,
+       round(avg(n_chars), 6) AS mean_n_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_tile_weighted_mean(sf_dir: str):
+    """A3: inverse-variance-style weighted mean per cell (integer weights ->
+    exact float64 sums, no rounding needed)."""
+    ds = _docs_with_geo(sf_dir)
+
+    def add_w(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        w = (ids % 7 + 1).astype(np.float64)
+        b = b.append_column("w", pa.array(w))
+        return b.append_column(
+            "wx", pa.array(w * np.asarray(b["n_chars"]).astype(np.float64)))
+
+    agg = hash_aggregate(ds.map_batches(add_w, batch_format="pyarrow"), "cell", {
+        "sum_w": ("w", "sum"), "sum_wx": ("wx", "sum"),
+    })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["wavg_chars"] = df.sum_wx / df.sum_w
+        return df[["cell", "wavg_chars"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_TILE_WEIGHTED_MEAN = f"""
+SELECT {CELL_SQL} AS cell,
+       sum((doc_id % 7 + 1) * n_chars) * 1.0 / sum(doc_id % 7 + 1) AS wavg_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_hex_cells(sf_dir: str):
+    """H3-like hex binning (no SQL oracle: cube rounding); rows-only check."""
+    from ..geo.cells import h3ish_cell_id
+
+    ds = _docs_with_geo(sf_dir)
+
+    def add_hex(b: pa.Table) -> pa.Table:
+        h = h3ish_cell_id(np.asarray(b["lat"]), np.asarray(b["lon"]), 2.0)
+        return b.append_column("hex_cell", pa.array(h.astype(np.int64)))
+
+    return hash_aggregate(ds.map_batches(add_hex, batch_format="pyarrow"),
+                          "hex_cell", {"n": (None, "count")})
+
+
+# ---------------------------------------------------------------------------
+# spatial: PIP / kNN joins
+# ---------------------------------------------------------------------------
+
+def _poly_specs():
+    box = PolygonSpec(1, "box", np.array([
+        [BOX["lon_min"], BOX["lat_min"]], [BOX["lon_max"], BOX["lat_min"]],
+        [BOX["lon_max"], BOX["lat_max"]], [BOX["lon_min"], BOX["lat_max"]]]))
+    tri = PolygonSpec(2, "tri", TRI)
+    return [box, tri]
+
+
+_TRI_SQL_CROSS = []
+for _i in range(3):
+    _ax, _ay = TRI[_i]
+    _bx, _by = TRI[(_i + 1) % 3]
+    _TRI_SQL_CROSS.append(
+        f"(({_bx} - {_ax}) * (({SQL_LAT}) - {_ay}) - ({_by} - {_ay}) * (({SQL_LON}) - {_ax}))")
+TRI_SQL_COND = (f"(({_TRI_SQL_CROSS[0]} > 0) = ({_TRI_SQL_CROSS[1]} > 0) "
+                f"AND ({_TRI_SQL_CROSS[1]} > 0) = ({_TRI_SQL_CROSS[2]} > 0))")
+BOX_SQL_COND = (f"(({SQL_LON}) > {BOX['lon_min']} AND ({SQL_LON}) < {BOX['lon_max']} "
+                f"AND ({SQL_LAT}) > {BOX['lat_min']} AND ({SQL_LAT}) < {BOX['lat_max']})")
+
+
+def q_pip_semi(sf_dir: str):
+    """J5 semi-join: docs inside box OR triangle; row-level lat/lon exact."""
+    ds = _docs_with_geo(sf_dir)
+    out = pip_join(ds, _poly_specs(), "semi")
+    return out.map_batches(lambda b: b.select(["doc_id", "lat", "lon"]),
+                           batch_format="pyarrow")
+
+
+SQL_PIP_SEMI = f"""
+SELECT doc_id, {SQL_LAT} AS lat, {SQL_LON} AS lon
+FROM documents WHERE {BOX_SQL_COND} OR {TRI_SQL_COND}
+"""
+
+
+def q_pip_anti_count(sf_dir: str):
+    """J5 anti-join: count of docs outside every polygon."""
+    ds = _docs_with_geo(sf_dir)
+    n = pip_join(ds, _poly_specs(), "anti").count()
+    return pa.table({"n_outside": pa.array([n], type=pa.int64())})
+
+
+SQL_PIP_ANTI_COUNT = f"""
+SELECT count(*) AS n_outside FROM documents
+WHERE NOT ({BOX_SQL_COND} OR {TRI_SQL_COND})
+"""
+
+
+def q_pip_labels(sf_dir: str):
+    """J5 inner join + A15-style zonal count per polygon label."""
+    ds = _docs_with_geo(sf_dir)
+    joined = pip_join(ds, _poly_specs(), "inner")
+    return hash_aggregate(joined, "label", {"n": (None, "count")})
+
+
+SQL_PIP_LABELS = f"""
+SELECT 'box' AS label, count(*) AS n FROM documents WHERE {BOX_SQL_COND}
+UNION ALL
+SELECT 'tri' AS label, count(*) AS n FROM documents WHERE {TRI_SQL_COND}
+"""
+
+
+_KNN_SQL_DOTS = []
+for _, s in KNN_SITES.iterrows():
+    _KNN_SQL_DOTS.append(
+        f"(sin(radians({SQL_LAT})) * sin(radians({s.lat})) + "
+        f"cos(radians({SQL_LAT})) * cos(radians({s.lat})) * "
+        f"cos(radians(({SQL_LON}) - ({s.lon}))))")
+
+
+def q_knn_top3(sf_dir: str):
+    """T2/kNN: 3 nearest sites per doc, long form with rank."""
+    ds = _docs_with_geo(sf_dir)
+    out = knn_join(ds, KNN_SITES.site_id.to_numpy(), KNN_SITES.lat.to_numpy(),
+                   KNN_SITES.lon.to_numpy(), k=3)
+    return out.map_batches(lambda b: b.select(["doc_id", "knn_rank", "site_id"]),
+                           batch_format="pyarrow")
+
+
+SQL_KNN_TOP3 = f"""
+WITH dots AS (
+  SELECT doc_id, 1 AS site_id, {_KNN_SQL_DOTS[0]} AS dot FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS site_id, {_KNN_SQL_DOTS[1]} AS dot FROM documents
+  UNION ALL
+  SELECT doc_id, 3 AS site_id, {_KNN_SQL_DOTS[2]} AS dot FROM documents
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY dot DESC, site_id ASC)
+         AS knn_rank,
+       site_id
+FROM dots QUALIFY knn_rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator analogs (reference M/A/D/O families on TPC-H tables)
+# ---------------------------------------------------------------------------
+
+def q_filter_revenue(sf_dir: str):
+    """S2/M1 load-time predicate + M9-style per-row arithmetic (row-level
+    floats are bit-exact across engines)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                             "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(b["l_returnflag"], value_set=pa.array(["A", "R"])),
+                    pc.less(b["l_shipdate"], pa.scalar(
+                        np.datetime64("1996-01-01", "us"))))
+        b = b.filter(m)
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(
+            pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("revenue", rev)
+        return b.select(["l_orderkey", "l_linenumber", "revenue"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FILTER_REVENUE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R') AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """A1/A2 family (TPC-H Q1 shape): grouped sums/means/counts.
+
+    Money columns are quantized to integer cents at row level (exact in
+    float64) so the cross-batch sums are bit-identical to DuckDB's —
+    floating sums are order-sensitive in the last bits otherwise."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        price_c = np.round(np.asarray(b["l_extendedprice"]) * 100.0)
+        disc_c = np.round(np.asarray(b["l_discount"]) * 100.0)
+        b = b.append_column("price_c", pa.array(price_c))
+        return b.append_column("disc_c", pa.array(disc_c))
+
+    agg = hash_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                         ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_price_c": ("price_c", "sum"),
+        "sum_disc_c": ("disc_c", "sum"),
+        "n": (None, "count"),
+    })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df.sum_price_c / 100.0
+        df["mean_disc"] = (df.sum_disc_c / (100.0 * df.n)).round(6)
+        return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+                   "mean_disc", "n"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)), 6)
+         AS mean_disc,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_weighted_avg_price(sf_dir: str):
+    """A3: weighted mean per part (two partial sums -> final divide)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def add(b: pa.Table) -> pa.Table:
+        pq = np.round(np.asarray(b["l_extendedprice"]) * 100.0) * \
+            np.asarray(b["l_quantity"])  # integer cents x integer qty: exact
+        return b.append_column("pq_c", pa.array(pq))
+
+    agg = hash_aggregate(ds.map_batches(add, batch_format="pyarrow"), "l_partkey", {
+        "sum_pq_c": ("pq_c", "sum"), "sum_q": ("l_quantity", "sum"),
+    })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["wavg_price"] = (df.sum_pq_c / (100.0 * df.sum_q)).round(6)
+        return df[["l_partkey", "wavg_price"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_WEIGHTED_AVG_PRICE = """
+SELECT l_partkey,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT))
+             / (100.0 * sum(l_quantity)), 6) AS wavg_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_segment_ratio(sf_dir: str):
+    """A7 ratio-of-sums + J3 broadcast lookup join: per market segment,
+    fraction of order value in status 'F'."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    with_seg = broadcast_lookup(orders, cust.rename(
+        columns={"c_custkey": "o_custkey"}), "o_custkey", ["c_mktsegment"])
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        tp_c = (df.o_totalprice * 100.0).round()
+        df["tp_c"] = tp_c
+        df["f_c"] = np.where(df.o_orderstatus == "F", tp_c, 0.0)
+        return df
+
+    agg = hash_aggregate(with_seg.map_batches(add, batch_format="pandas"),
+                         "c_mktsegment", {
+        "sum_f": ("f_c", "sum"), "sum_all": ("tp_c", "sum"),
+    })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["f_ratio"] = (df.sum_f / df.sum_all).round(6)
+        return df[["c_mktsegment", "f_ratio"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_SEGMENT_RATIO = """
+SELECT c.c_mktsegment,
+       round(sum(CASE WHEN o.o_orderstatus = 'F'
+                      THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END)
+             / (1.0 * sum(CAST(round(o.o_totalprice * 100) AS BIGINT))), 6)
+         AS f_ratio
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_brand_consensus(sf_dir: str):
+    """A9 consensus: all-equal -> that value, mixed -> 1 (ice-flag rule)."""
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_size"])
+    agg = hash_aggregate(ds, "p_brand", {
+        "min_s": ("p_size", "min"), "max_s": ("p_size", "max"),
+    })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["consensus_size"] = np.where(df.min_s == df.max_s, df.min_s, 1)
+        df["consensus_size"] = df["consensus_size"].astype(np.int64)
+        return df[["p_brand", "consensus_size"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_BRAND_CONSENSUS = """
+SELECT p_brand,
+       CAST(CASE WHEN min(p_size) = max(p_size) THEN min(p_size) ELSE 1 END
+            AS BIGINT) AS consensus_size
+FROM part GROUP BY 1
+"""
+
+
+def q_order_mode_flag(sf_dir: str):
+    """A10/A15 mode with deterministic tie-break (count desc, label asc)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    out = zonal_mode(ds, cell_col="l_orderkey", label_col="l_returnflag")
+    return out
+
+
+SQL_ORDER_MODE_FLAG = """
+SELECT l_orderkey, l_returnflag AS mode_label, cnt AS mode_count FROM (
+  SELECT l_orderkey, l_returnflag, count(*) AS cnt,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY count(*) DESC, l_returnflag ASC) AS rn
+  FROM lineitem GROUP BY 1, 2
+) WHERE rn = 1
+"""
+
+
+def q_time_coverage(sf_dir: str):
+    """A13 global min/max time via per-batch partials (no full shuffle)."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        return pa.table({"min_ts": [pc.min(b["ts"]).as_py()],
+                         "max_ts": [pc.max(b["ts"]).as_py()]})
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pa.table({"min_ts": pa.array([p.min_ts.min()]),
+                     "max_ts": pa.array([p.max_ts.max()])})
+
+
+SQL_TIME_COVERAGE = "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events"
+
+
+def q_dedup_users(sf_dir: str):
+    """D1 exact dedup: first event per user by (ts, event_id)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = exact_dedup(ds, "user_id", ["ts", "event_id"])
+    return out.map_batches(lambda df: df[["user_id", "event_id"]],
+                           batch_format="pandas")
+
+
+SQL_DEDUP_USERS = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_dedup_docs(sf_dir: str):
+    """D1 on documents: one survivor per distinct text (min doc_id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.map_batches(lambda df: df[["doc_id"]], batch_format="pandas")
+
+
+SQL_DEDUP_DOCS = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_top_orders(sf_dir: str):
+    """O5 top-k without global sort (partial top-k + tiny combine)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = topk(ds, "o_totalprice", 20, tie_col="o_orderkey")
+    return out.map_batches(lambda df: df[["o_orderkey", "o_totalprice"]],
+                           batch_format="pandas")
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """§2.9 time-gap sessionization (1h gap) + per-session stats.
+    value quantized to cents row-level for cross-engine-exact sums."""
+    from ..stages.sessionize import session_stats
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["value"] = (df.value * 100.0).round()
+        return df
+
+    out = session_stats(ds.map_batches(cents, batch_format="pandas"),
+                        "user_id", "ts", pd.Timedelta("1h"), "value")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df.sum_value / 100.0
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events
+), t AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_asof_dim(sf_dir: str):
+    """J2 broadcast as-of join: each event -> latest dim row with ts <= event ts."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    out = asof_join(ds, ASOF_DIM_TS, {"dim_id": ASOF_DIM_ID}, "ts", "backward",
+                    suffix="")
+    return out.map_batches(lambda b: b.select(["event_id", "dim_id"]),
+                           batch_format="pyarrow")
+
+
+SQL_ASOF_DIM = """
+SELECT e.event_id, d.dim_id
+FROM events e ASOF JOIN (
+  VALUES (1, TIMESTAMP '2024-01-01'), (2, TIMESTAMP '2024-01-08'),
+         (3, TIMESTAMP '2024-01-15'), (4, TIMESTAMP '2024-01-22'),
+         (5, TIMESTAMP '2024-01-29')
+) d(dim_id, ts) ON e.ts >= d.ts
+"""
+
+
+def q_hourly_windows(sf_dir: str):
+    """Tumbling-window aggregate: (event_type, hour) counts + sums."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        b = b.append_column("hour", pc.floor_temporal(b["ts"], unit="hour"))
+        return b.append_column(
+            "value_c", pa.array(np.round(np.asarray(b["value"]) * 100.0)))
+
+    agg = hash_aggregate(ds.map_batches(add_hour, batch_format="pyarrow"),
+                         ["event_type", "hour"], {
+        "n": (None, "count"), "sum_value_c": ("value_c", "sum"),
+    })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df.sum_value_c / 100.0
+        return df[["event_type", "hour", "n", "sum_value"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_HOURLY_WINDOWS = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    return hash_aggregate(ds, "lang", {"n": (None, "count")})
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY 1"
+
+
+def q_token_counts(sf_dir: str):
+    """Text analysis: whitespace token counts (SQL-parity definition)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "n_ws_tokens"]),
+                           batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_ann_top5(sf_dir: str):
+    """ANN baseline: brute-force cosine top-5 for a fixed query vector."""
+    from ..stages.ann import cosine_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, ANN_QUERY[None, :], k=5).to_pandas()
+    out = out[["rank", "vec_id", "cosine"]].copy()
+    out["cosine"] = out.cosine.round(6)
+    return out
+
+
+_ANN_VEC_SQL = "[" + ", ".join(f"{v}" for v in ANN_QUERY) + "]::DOUBLE[]"
+# embedding must be cast to DOUBLE[] — list_cosine_similarity on list<float>
+# computes in float32 and diverges from the engine's float64 math
+SQL_ANN_TOP5 = f"""
+SELECT row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rank, vec_id,
+       round(c, 6) AS cosine
+FROM (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], {_ANN_VEC_SQL}) AS c
+  FROM embeddings
+) QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible pipelines (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_rasterize_samples(sf_dir: str):
+    """The full SWOT-semantics rasterization (A1-A13 incl. two-pass
+    fallback) over the deterministic samples table. Oracle = the per-cell
+    NumPy oracle in tests/test_rasterize.py (not SQL-expressible in one
+    statement: conditional family selection + qual roll-up)."""
+    from ..aggregate.rasterize import rasterize
+    from ..geo.cells import GridSpec, bin_to_grid, grid_cell_key
+    from ..sources.samples import samples_dataset
+
+    grid = GridSpec(x_min=-6, y_min=-6, x_max=6, y_max=6, res=0.1, tile_size=64)
+
+    def add_cell(b: pa.Table) -> pa.Table:
+        iy, ix, ok = bin_to_grid(grid, np.asarray(b["lon"]), np.asarray(b["lat"]))
+        cell = np.where(ok, grid_cell_key(grid, iy, ix), -1)
+        return b.append_column("grid_cell", pa.array(cell, type=pa.int64()))
+
+    ds = samples_dataset(20_000).map_batches(add_cell, batch_format="pyarrow")
+    return rasterize(ds, grid)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs over documents."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, num_perm=64, num_bands=16)
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
+                          batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    return out.map_batches(lambda df: df[["doc_id", "lang_pred", "lang_score"]],
+                           batch_format="pandas")
+
+
+def q_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2,
+                         num_cpus=0.5)
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_words", "stop_ratio", "quality"]],
+        batch_format="pandas")
+
+
+def q_flagship_tiles(sf_dir: str):
+    """The flagship pages pipeline over a pages table synthesized from
+    documents (url/text/lang from the docs table; deterministic)."""
+    from .flagship import rasterize_pages
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        src = b["source"].to_pylist()
+        urls = [f"https://{s}.example/d/{i}" for s, i in zip(src, ids)]
+        ts = pa.array(1_577_836_800_000_000 + ids * 1_000_000,
+                      type=pa.timestamp("us"))
+        return pa.table({"url": pa.array(urls), "warc_ts": ts,
+                         "text": b["text"], "lang": b["lang"]})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    return rasterize_pages(pages)
+
+
+def queries() -> dict:
+    return {
+        "tile_count_mean": q_tile_count_mean,
+        "tile_weighted_mean": q_tile_weighted_mean,
+        "hex_cells": q_hex_cells,
+        "pip_semi": q_pip_semi,
+        "pip_anti_count": q_pip_anti_count,
+        "pip_labels": q_pip_labels,
+        "knn_top3": q_knn_top3,
+        "filter_revenue": q_filter_revenue,
+        "pricing_summary": q_pricing_summary,
+        "weighted_avg_price": q_weighted_avg_price,
+        "segment_ratio": q_segment_ratio,
+        "brand_consensus": q_brand_consensus,
+        "order_mode_flag": q_order_mode_flag,
+        "time_coverage": q_time_coverage,
+        "dedup_users": q_dedup_users,
+        "dedup_docs": q_dedup_docs,
+        "top_orders": q_top_orders,
+        "sessionize": q_sessionize,
+        "asof_dim": q_asof_dim,
+        "hourly_windows": q_hourly_windows,
+        "lang_counts": q_lang_counts,
+        "token_counts": q_token_counts,
+        "ann_top5": q_ann_top5,
+        "rasterize_samples": q_rasterize_samples,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "langid": q_langid,
+        "quality": q_quality,
+        "flagship_tiles": q_flagship_tiles,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "tile_count_mean": SQL_TILE_COUNT_MEAN,
+        "tile_weighted_mean": SQL_TILE_WEIGHTED_MEAN,
+        "pip_semi": SQL_PIP_SEMI,
+        "pip_anti_count": SQL_PIP_ANTI_COUNT,
+        "pip_labels": SQL_PIP_LABELS,
+        "knn_top3": SQL_KNN_TOP3,
+        "filter_revenue": SQL_FILTER_REVENUE,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "weighted_avg_price": SQL_WEIGHTED_AVG_PRICE,
+        "segment_ratio": SQL_SEGMENT_RATIO,
+        "brand_consensus": SQL_BRAND_CONSENSUS,
+        "order_mode_flag": SQL_ORDER_MODE_FLAG,
+        "time_coverage": SQL_TIME_COVERAGE,
+        "dedup_users": SQL_DEDUP_USERS,
+        "dedup_docs": SQL_DEDUP_DOCS,
+        "top_orders": SQL_TOP_ORDERS,
+        "sessionize": SQL_SESSIONIZE,
+        "asof_dim": SQL_ASOF_DIM,
+        "hourly_windows": SQL_HOURLY_WINDOWS,
+        "lang_counts": SQL_LANG_COUNTS,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "ann_top5": SQL_ANN_TOP5,
+    }

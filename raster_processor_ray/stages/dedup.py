@@ -25,10 +25,11 @@ from ..geo.hashing import fnv1a_64, splitmix64
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, key: str, order_by: str | None = None, *, num_buckets: int = 64):
+def exact_dedup(ds, key: str, order_by: str | list[str] | None = None, *,
+                num_buckets: int = 64):
     """Keep exactly one row per ``key``: the one with the smallest
-    ``order_by`` value (ties -> first in deterministic sort); without
-    ``order_by``, the minimal full-row representation wins deterministically.
+    ``order_by`` value(s) (pass a list for deterministic tie-breaks);
+    without ``order_by``, the first row in (key)-sorted order wins.
 
     Implementation: bucket by ``hash(key) % B`` so the shuffle groups by
     bucket (vectorized pandas keep-first inside each bucket, one Python
@@ -39,7 +40,11 @@ def exact_dedup(ds, key: str, order_by: str | None = None, *, num_buckets: int =
         h = fnv1a_64(b[key].cast(pa.string()))
         return b.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
-    sort_cols = [key] + ([order_by] if order_by else [])
+    if order_by is None:
+        order_by = []
+    elif isinstance(order_by, str):
+        order_by = [order_by]
+    sort_cols = [key] + order_by
 
     def first_per_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["_bucket"]).sort_values(sort_cols, kind="mergesort")
