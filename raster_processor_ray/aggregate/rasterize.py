@@ -81,21 +81,54 @@ def _col(batch: pa.Table, name: str, fill, dtype) -> tuple[np.ndarray, np.ndarra
 # partial-column schema
 # ---------------------------------------------------------------------------
 
-def partial_sum_columns(cfg: AggConfig) -> list[str]:
+def partial_sum_columns(cfg: AggConfig, input_cols: set[str] | None = None) -> list[str]:
+    """Partial-column schema, ADAPTIVE to the input: aggregate families
+    whose input columns are absent are dropped entirely (a pages table
+    with only value/ts pays ~20 partial columns, not 53 — partial width
+    is shuffle bytes, the scarce resource)."""
+    has = (lambda c: True) if input_cols is None else (lambda c: c in input_cols)
     cols = ["n_all"]
     for f in ("gs", "gsd"):
-        cols += [f"n_v_{f}", f"sum_v_{f}", f"sum_w_{f}", f"sum_wv_{f}",
-                 f"n_area_{f}", f"area_composite_{f}", f"area_simple_{f}",
-                 f"area_fracm_{f}", f"dark_area_{f}", f"sum_frac_u2_{f}"]
-    cols += ["n_suspect", "n_degraded", "n_bad", "n_bright", "n_darkflag",
-             "n_low_coh", "n_far_range", "n_out_of_range",
-             "n_ice_a", "n_ice_b"]
-    cols += [f"cnt_k{k}" for k in cfg.klass_domain]
+        cols += [f"n_v_{f}", f"sum_v_{f}", f"sum_w_{f}", f"sum_wv_{f}"]
+        if has("area"):
+            cols += [f"n_area_{f}", f"area_composite_{f}", f"area_simple_{f}",
+                     f"area_fracm_{f}", f"dark_area_{f}", f"sum_frac_u2_{f}"]
+    if has("class_qual") or has("geo_qual"):
+        cols += ["n_suspect", "n_degraded", "n_bad"]
+    if has("bright_land"):
+        cols += ["n_bright"]
+    if has("dark_flag"):
+        cols += ["n_darkflag"]
+    if has("low_coh"):
+        cols += ["n_low_coh"]
+    if has("cross_track"):
+        cols += ["n_far_range"]
+    if has("value"):
+        cols += ["n_out_of_range"]
+    if has("ice_a"):
+        cols += ["n_ice_a"]
+    if has("ice_b"):
+        cols += ["n_ice_b"]
+    if has("klass"):
+        cols += [f"cnt_k{k}" for k in cfg.klass_domain]
     return cols
 
 
 PARTIAL_MIN_COLS = ["min_ts", "min_ice_a", "min_ice_b"]
 PARTIAL_MAX_COLS = ["max_ts", "max_ice_a", "max_ice_b"]
+
+
+def partial_minmax_columns(input_cols: set[str] | None = None):
+    if input_cols is None:
+        return PARTIAL_MIN_COLS, PARTIAL_MAX_COLS
+    mins, maxs = [], []
+    if "ts" in input_cols:
+        mins.append("min_ts"); maxs.append("max_ts")
+    if "ice_a" in input_cols:
+        mins.append("min_ice_a"); maxs.append("max_ice_a")
+    if "ice_b" in input_cols:
+        mins.append("min_ice_b"); maxs.append("max_ice_b")
+    return mins, maxs
 
 
 def partial_aggregate_batch(batch: pa.Table, cfg: AggConfig = C.DEFAULT_AGG,
@@ -108,8 +141,11 @@ def partial_aggregate_batch(batch: pa.Table, cfg: AggConfig = C.DEFAULT_AGG,
         batch = batch.filter(pa.array(keep))
         cell = cell[keep]
         n = batch.num_rows
+    present = set(batch.column_names)
+    sum_cols = partial_sum_columns(cfg, present)
+    min_cols, max_cols = partial_minmax_columns(present)
     if n == 0:
-        names = [cell_col] + partial_sum_columns(cfg) + PARTIAL_MIN_COLS + PARTIAL_MAX_COLS
+        names = [cell_col] + sum_cols + min_cols + max_cols
         return pa.table({nm: pa.array([], type=pa.int64() if nm == cell_col else pa.float64())
                          for nm in names})
 
@@ -167,31 +203,41 @@ def partial_aggregate_batch(batch: pa.Table, cfg: AggConfig = C.DEFAULT_AGG,
     w = 1.0 / np.where(sigma_ok & (sigma > 0), sigma, cfg.sigma_deweight_fill) ** 2
     for f, fm in fam_masks.items():
         vmask = fm & value_ok
-        amask = fm & area_ok & klass_ok
         out[f"n_v_{f}"] = bsum(mask=vmask)
         out[f"sum_v_{f}"] = bsum(np.where(vmask, value, 0.0))
         out[f"sum_w_{f}"] = bsum(np.where(vmask, w, 0.0))
         out[f"sum_wv_{f}"] = bsum(np.where(vmask, w * value, 0.0))
-        out[f"n_area_{f}"] = bsum(mask=amask)
-        out[f"area_composite_{f}"] = bsum(np.where(amask, contrib_composite, 0.0))
-        out[f"area_simple_{f}"] = bsum(np.where(amask, contrib_simple, 0.0))
-        out[f"area_fracm_{f}"] = bsum(np.where(amask, contrib_fracm, 0.0))
-        out[f"dark_area_{f}"] = bsum(np.where(amask, contrib_dark, 0.0))
-        out[f"sum_frac_u2_{f}"] = bsum(np.where(amask, (area * frac_u) ** 2, 0.0))
+        if f"n_area_{f}" in sum_cols:
+            amask = fm & area_ok & klass_ok
+            out[f"n_area_{f}"] = bsum(mask=amask)
+            out[f"area_composite_{f}"] = bsum(np.where(amask, contrib_composite, 0.0))
+            out[f"area_simple_{f}"] = bsum(np.where(amask, contrib_simple, 0.0))
+            out[f"area_fracm_{f}"] = bsum(np.where(amask, contrib_fracm, 0.0))
+            out[f"dark_area_{f}"] = bsum(np.where(amask, contrib_dark, 0.0))
+            out[f"sum_frac_u2_{f}"] = bsum(np.where(amask, (area * frac_u) ** 2, 0.0))
 
-    out["n_suspect"] = bsum(mask=row_qual == C.QUAL_SUSPECT)
-    out["n_degraded"] = bsum(mask=row_qual == C.QUAL_DEGRADED)
-    out["n_bad"] = bsum(mask=row_qual == C.QUAL_BAD)
-    out["n_bright"] = bsum(mask=bright & bright_ok)
-    out["n_darkflag"] = bsum(mask=darkf & darkf_ok)
-    out["n_low_coh"] = bsum(mask=low_coh & low_coh_ok)
-    out["n_far_range"] = bsum(mask=(np.abs(cross_track) > cfg.far_range_cross_track) & ct_ok)
-    out["n_out_of_range"] = bsum(
-        mask=value_ok & ((value < cfg.value_valid_min) | (value > cfg.value_valid_max)))
-    out["n_ice_a"] = bsum(mask=ice_a_ok)
-    out["n_ice_b"] = bsum(mask=ice_b_ok)
-    for k in cfg.klass_domain:
-        out[f"cnt_k{k}"] = bsum(mask=klass_ok & (klass == k))
+    if "n_suspect" in sum_cols:
+        out["n_suspect"] = bsum(mask=row_qual == C.QUAL_SUSPECT)
+        out["n_degraded"] = bsum(mask=row_qual == C.QUAL_DEGRADED)
+        out["n_bad"] = bsum(mask=row_qual == C.QUAL_BAD)
+    if "n_bright" in sum_cols:
+        out["n_bright"] = bsum(mask=bright & bright_ok)
+    if "n_darkflag" in sum_cols:
+        out["n_darkflag"] = bsum(mask=darkf & darkf_ok)
+    if "n_low_coh" in sum_cols:
+        out["n_low_coh"] = bsum(mask=low_coh & low_coh_ok)
+    if "n_far_range" in sum_cols:
+        out["n_far_range"] = bsum(mask=(np.abs(cross_track) > cfg.far_range_cross_track) & ct_ok)
+    if "n_out_of_range" in sum_cols:
+        out["n_out_of_range"] = bsum(
+            mask=value_ok & ((value < cfg.value_valid_min) | (value > cfg.value_valid_max)))
+    if "n_ice_a" in sum_cols:
+        out["n_ice_a"] = bsum(mask=ice_a_ok)
+    if "n_ice_b" in sum_cols:
+        out["n_ice_b"] = bsum(mask=ice_b_ok)
+    if "klass" in present:
+        for k in cfg.klass_domain:
+            out[f"cnt_k{k}"] = bsum(mask=klass_ok & (klass == k))
 
     # min/max partials via ufunc.at (few columns; rows per batch are bounded)
     def bmin(vals, mask, empty):
@@ -206,12 +252,15 @@ def partial_aggregate_batch(batch: pa.Table, cfg: AggConfig = C.DEFAULT_AGG,
             np.maximum.at(r, inv[mask], vals[mask])
         return r
 
-    out["min_ts"] = bmin(ts, ts_ok, np.inf)
-    out["max_ts"] = bmax(ts, ts_ok, -np.inf)
-    out["min_ice_a"] = bmin(ice_a.astype(np.float64), ice_a_ok, np.inf)
-    out["max_ice_a"] = bmax(ice_a.astype(np.float64), ice_a_ok, -np.inf)
-    out["min_ice_b"] = bmin(ice_b.astype(np.float64), ice_b_ok, np.inf)
-    out["max_ice_b"] = bmax(ice_b.astype(np.float64), ice_b_ok, -np.inf)
+    if "min_ts" in min_cols:
+        out["min_ts"] = bmin(ts, ts_ok, np.inf)
+        out["max_ts"] = bmax(ts, ts_ok, -np.inf)
+    if "min_ice_a" in min_cols:
+        out["min_ice_a"] = bmin(ice_a.astype(np.float64), ice_a_ok, np.inf)
+        out["max_ice_a"] = bmax(ice_a.astype(np.float64), ice_a_ok, -np.inf)
+    if "min_ice_b" in min_cols:
+        out["min_ice_b"] = bmin(ice_b.astype(np.float64), ice_b_ok, np.inf)
+        out["max_ice_b"] = bmax(ice_b.astype(np.float64), ice_b_ok, -np.inf)
     return pa.table({k: pa.array(v) for k, v in out.items()})
 
 
@@ -230,10 +279,11 @@ def combine_aggs(cfg: AggConfig = C.DEFAULT_AGG):
 
 def combine_partials_df(df, cfg: AggConfig = C.DEFAULT_AGG,
                         cell_col: str = "grid_cell"):
-    """Vectorized pandas combine of partial rows by cell (used per bucket)."""
-    agg = {c: "sum" for c in partial_sum_columns(cfg)}
-    agg.update({c: "min" for c in PARTIAL_MIN_COLS})
-    agg.update({c: "max" for c in PARTIAL_MAX_COLS})
+    """Vectorized pandas combine of partial rows by cell (used per bucket).
+    Adaptive to whichever partial columns the map side emitted."""
+    agg = {c: "sum" for c in partial_sum_columns(cfg) if c in df.columns}
+    agg.update({c: "min" for c in PARTIAL_MIN_COLS if c in df.columns})
+    agg.update({c: "max" for c in PARTIAL_MAX_COLS if c in df.columns})
     return df.groupby(cell_col, as_index=False).agg(agg)
 
 
@@ -245,7 +295,16 @@ def finalize_cells(batch: pa.Table, grid: GridSpec, cfg: AggConfig = C.DEFAULT_A
                    cell_col: str = "grid_cell") -> pa.Table:
     """Vectorized final map over the combined partials -> raster cell rows."""
     m = batch.num_rows
-    g = lambda name: np.asarray(batch[name].to_pandas().fillna(0.0), dtype=np.float64)  # noqa: E731
+    present = set(batch.column_names)
+
+    def g(name: str) -> np.ndarray:
+        # missing partial columns (adaptive schema) read as empty-sentinel
+        if name not in present:
+            fill = np.inf if name.startswith("min_") else (
+                -np.inf if name.startswith("max_") else 0.0)
+            return np.full(m, fill)
+        return np.asarray(batch[name].to_pandas().fillna(0.0), dtype=np.float64)
+
     cell = np.asarray(batch[cell_col]).astype(np.int64)
 
     iy = cell // grid.size_x

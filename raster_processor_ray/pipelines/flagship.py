@@ -17,11 +17,13 @@ aggregates so a killed run resumes mid-shuffle (north_rule; FIXTURES.md F6).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 from ..aggregate.rasterize import (combine_partials_df, finalize_cells,
-                                   partial_aggregate_batch)
+                                   partial_aggregate_batch, rasterize)
 from ..config import AggConfig, DEFAULT_AGG
 from ..geo.cells import GridSpec
 from ..stages.geotag import GLOBAL_GEO_GRID, geotag_and_cell_encode
@@ -83,14 +85,238 @@ def rasterize_pages(pages_ds, *, grid: GridSpec = GLOBAL_GEO_GRID,
         lambda b: finalize_cells(b, grid, cfg), batch_format="pyarrow")
 
 
-def run_flagship(pages_path_or_ds, out_dir: str, *, grid: GridSpec = GLOBAL_GEO_GRID,
-                 cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
-                 checkpoint_partials_dir: str | None = None, resume: bool = False):
-    """End-to-end: read -> rasterize -> resumable write. Returns manifests."""
+def coverage_polygons():
+    """The bench coverage layer: continent-scale boxes (~2/3 of the globe).
+    Analog of the reference's swath-polygon mask (cells outside the swath
+    polygon are flagged/dropped, raster_proc.py:916-939)."""
+    from ..stages.pip import PolygonSpec
+
+    boxes = [
+        (1, "americas", -170.123, -58.456, -30.789, 72.345),
+        (2, "europe_africa", -20.456, -36.789, 52.123, 71.456),
+        (3, "asia", 52.345, -12.345, 150.456, 75.123),
+        (4, "oceania", 110.123, -50.456, 180.0, 0.123),
+        (5, "south_pacific", -180.0, -55.123, -80.456, 10.234),
+    ]
+    return [PolygonSpec(pid, name, np.array(
+        [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=np.float64))
+        for pid, name, x1, y1, x2, y2 in boxes]
+
+
+def bench_sites(n: int = 1000) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic site layer for the kNN stage (splitmix of site id)."""
+    from ..geo.hashing import splitmix64
+
+    ids = np.arange(n, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64))
+    lat = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32 * 160.0 - 80.0
+    lon = (h >> np.uint64(32)).astype(np.float64) / 2**32 * 360.0 - 180.0
+    return ids, lat, lon
+
+
+class EnrichPages:
+    """FUSED enrichment actor — the flagship's per-page compute stage:
+
+    - vectorized text quality features (Arrow C++ kernels: utf8 length,
+      whitespace/punct counts -> quality score; no per-row Python)
+    - FNV-1a geotag, S2-style cell id at LEVEL 30 (truncated to the
+      output level via the hierarchical prefix property), hex cell
+    - UTM zone/band + Krueger transverse-Mercator easting/northing
+      (the reference's per-point UTM projection, products.py:1124-1135)
+    - broadcast PIP coverage semi-join (swath-mask analog)
+    - kNN: top-5 candidates by spherical dot product, refined with the
+      EXACT WGS84 Vincenty geodesic distance -> nearest site + dist
+      (coarse-then-iterative-refine, the reference's geoloc shape)
+
+    Fused into one ``__call__`` because actor stages cannot fuse with
+    neighbors in Ray Data: every stage boundary round-trips the whole
+    dataset through the object store (writes are the scarce resource on
+    this node). All kernels operate on per-batch numeric arrays (8k rows
+    -> 64 KiB per column: cache-resident, write-light).
+    """
+
+    def __init__(self, grid: GridSpec, poly_ref, knn_ref, skew_frac: float = 0.05,
+                 s2_level: int = 12, knn_refine: int = 5):
+        import ray
+
+        from ..stages.knn import KnnIndex
+        from ..stages.pip import PolygonIndex
+
+        self.grid = grid
+        self.skew_frac = skew_frac
+        self.s2_level = s2_level
+        self.knn_refine = knn_refine
+        self.pip: PolygonIndex = ray.get(poly_ref)
+        self.knn: KnnIndex = ray.get(knn_ref)
+
+    def _quality(self, batch: pa.Table) -> np.ndarray:
+        """Arrow-kernel quality features (no Python loop over rows)."""
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_spaces = pc.count_substring(text, " ").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_words = n_spaces + 1.0
+        mwl = np.where(n_words > 0, (n_chars - n_spaces) / n_words, 0.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+        return (np.clip(n_words / 100.0, 0, 1) * 0.4
+                + np.clip(mwl / 8.0, 0, 1) * 0.4
+                + (1.0 - np.clip(punct_ratio * 4.0, 0, 1)) * 0.2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..geo import cells as C
+        from ..geo import utm
+        from ..geo.cells import s2ish_parent
+        from ..geo.geodesic import vincenty_m
+        from ..sources.pages import pages_geotag
+
+        quality = self._quality(batch)
+        lat, lon = pages_geotag(batch["url"], skew_frac=self.skew_frac)
+        # S2 at max level, truncated (hierarchical prefix property)
+        s2 = s2ish_parent(C.s2ish_cell_id(lat, lon, 30), self.s2_level)
+        hexc = C.h3ish_cell_id(lat, lon)
+        easting, northing, zone = utm.latlon_to_utm(lat, lon)
+        iy, ix, ok = C.bin_to_grid(self.grid, lon, lat)
+        grid_cell = np.where(ok, C.grid_cell_key(self.grid, iy, ix), -1)
+        inside = self.pip.contains_any(lat, lon)          # coverage semi-join
+        keep = inside & ok
+        ts = pc.divide(pc.cast(pc.cast(batch["warc_ts"], pa.int64()),
+                               pa.float64()), 1e6)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        out = pa.table({
+            "grid_cell": pa.array(grid_cell, type=pa.int64()),
+            "cell_id": pa.array(s2, type=pa.uint64()),
+            "hex_cell": pa.array(hexc, type=pa.uint64()),
+            "easting": pa.array(easting),
+            "northing": pa.array(northing),
+            "utm_zone": pa.array(zone.astype(np.int16), type=pa.int16()),
+            "value": pa.array(quality),
+            "ts": ts,
+        })
+        out = out.filter(pa.array(keep))
+        la, lo = lat[keep], lon[keep]
+        # candidates by spherical dot product, exact geodesic refinement
+        cand, _ = self.knn.query(la, lo, self.knn_refine)
+        dists = np.stack([
+            vincenty_m(la, lo, self.knn.lats[cand[:, j]], self.knn.lons[cand[:, j]])
+            for j in range(cand.shape[1])], axis=1)
+        best = dists.argmin(axis=1)
+        rows = np.arange(len(la))
+        out = out.append_column(
+            "site_id", pa.array(self.knn.site_ids[cand[rows, best]]))
+        return out.append_column("site_dist_m", pa.array(dists[rows, best]))
+
+
+_ENRICH_CACHE: dict = {}
+
+
+def _cached_enricher(grid: GridSpec, poly_ref, knn_ref, knn_refine: int):
+    """Per-worker-process cached EnrichPages (task-fusion form).
+
+    The actor-pool form is the canonical idiom, but an actor stage cannot
+    fuse with the upstream ReadParquet operator — every decompressed
+    input block then round-trips the object store, and plasma WRITES are
+    the scarce resource on this node. Running enrichment as stateless
+    tasks with the index state cached in a process global keeps the
+    amortize-once property (ray.get of the broadcast indexes happens once
+    per worker process) while letting Ray fuse read->enrich into one
+    operator: input blocks never hit the store.
+    """
+    key = (poly_ref, knn_ref, grid, knn_refine)
+    enr = _ENRICH_CACHE.get(key)
+    if enr is None:
+        enr = EnrichPages(grid, poly_ref, knn_ref, knn_refine=knn_refine)
+        _ENRICH_CACHE.clear()
+        _ENRICH_CACHE[key] = enr
+    return enr
+
+
+def run_flagship_full(pages_path_or_ds, out_dir: str, *,
+                      grid: GridSpec = GLOBAL_GEO_GRID,
+                      cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
+                      read_blocks: int | None = None, knn_sites: int = 1000,
+                      knn_refine: int = 8, **_compat):
+    """The full spatial-join + tiling pipeline (the north-star DAG):
+
+        read(pruned) -> fused enrich tasks (vectorized quality features,
+           geotag + S2-30/hex/UTM/grid encodes, broadcast PIP coverage
+           mask, kNN with exact geodesic refinement; index state cached
+           once per worker process)
+        -> ONE rasterize shuffle (mean/weighted quality per cell)
+        -> ONE zonal shuffle (dominant site per cell, count-argmax)
+        -> resumable sharded writes of both outputs
+
+    Returns (tiles_manifest, zonal_manifest).
+    """
+    import ray
     import ray.data as rd
 
-    ds = (rd.read_parquet(pages_path_or_ds)
-          if isinstance(pages_path_or_ds, (str, list)) else pages_path_or_ds)
+    from ..aggregate.zonal import zonal_mode
+    from ..stages.knn import KnnIndex
+    from ..stages.pip import PolygonIndex
+
+    if isinstance(pages_path_or_ds, (str, list)):
+        kw = {"override_num_blocks": read_blocks} if read_blocks else {}
+        ds = rd.read_parquet(pages_path_or_ds,
+                             columns=["url", "warc_ts", "text"], **kw)
+    else:
+        ds = pages_path_or_ds
+
+    poly_ref = ray.put(PolygonIndex(coverage_polygons()))
+    ids, slat, slon = bench_sites(knn_sites)
+    knn_ref = ray.put(KnnIndex(ids, slat, slon))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        return _cached_enricher(grid, poly_ref, knn_ref, knn_refine)(batch)
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow", batch_size=8192)
+    # two consumers (tiles + zonal) — pin the enriched pages once instead
+    # of re-running enrichment per consumer (narrow numeric columns)
+    enriched = enriched.materialize()
+
+    cells_out = rasterize(
+        enriched.select_columns(["grid_cell", "value", "ts"]), grid, cfg)
+    tiles_manifest = lineage.write_resumable(
+        cells_out, os.path.join(out_dir, "tiles"), key_col="tile_id",
+        num_shards=num_out_shards, sort_cols=["tile_id", "iy", "ix"])
+
+    zonal = zonal_mode(enriched.select_columns(["grid_cell", "site_id"]),
+                       cell_col="grid_cell", label_col="site_id")
+    zonal_manifest = lineage.write_resumable(
+        zonal, os.path.join(out_dir, "dominant_site"), key_col="grid_cell",
+        num_shards=num_out_shards, sort_cols=["grid_cell"])
+    return tiles_manifest, zonal_manifest
+
+
+def run_flagship(pages_path_or_ds, out_dir: str, *, grid: GridSpec = GLOBAL_GEO_GRID,
+                 cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
+                 checkpoint_partials_dir: str | None = None, resume: bool = False,
+                 read_blocks: int | None = None):
+    """End-to-end: read -> rasterize -> resumable write. Returns manifests.
+
+    ``read_blocks``: override the read parallelism. Ray's default block
+    heuristic (~200 tiny blocks) makes the combine Sort ~2.5x slower than
+    ~2 blocks per CPU on this workload — small blocks multiply shuffle
+    metadata, and partial aggregation compresses better per large block.
+    """
+    import ray.data as rd
+
+    if isinstance(pages_path_or_ds, (str, list)):
+        kw = {"override_num_blocks": read_blocks} if read_blocks else {}
+        # prune at the read: the rasterization consumes only these three
+        # columns — html (the widest column by far) never leaves storage
+        ds = rd.read_parquet(pages_path_or_ds,
+                             columns=["url", "warc_ts", "text"], **kw)
+    else:
+        ds = pages_path_or_ds
     cells = rasterize_pages(ds, grid=grid, cfg=cfg,
                             checkpoint_partials_dir=checkpoint_partials_dir,
                             resume=resume)

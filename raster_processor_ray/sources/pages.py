@@ -96,22 +96,41 @@ def pages_geotag(urls: pa.Array | list[str], *, skew_frac: float = 0.05):
     return lat, lon
 
 
-def write_pages_parquet(out_dir: str, num_rows: int, *, rows_per_file: int = 250_000,
-                        with_html: bool = True) -> list[str]:
-    """Materialize the synthetic pages table as a sharded parquet dataset.
-    Driver-side helper for tests/bench; shards are independent."""
+def _write_shard(args) -> str:
+    """Module-level so ProcessPoolExecutor can pickle it."""
+    out_path, start, stop, with_html = args
     import os
     import pyarrow.parquet as pq
 
+    if not os.path.exists(out_path):
+        tmp = out_path + ".tmp"
+        pq.write_table(make_pages_batch(start, stop, with_html=with_html), tmp)
+        os.replace(tmp, out_path)
+    return out_path
+
+
+def write_pages_parquet(out_dir: str, num_rows: int, *, rows_per_file: int = 250_000,
+                        with_html: bool = True, max_workers: int = 16) -> list[str]:
+    """Materialize the synthetic pages table as a sharded parquet dataset.
+    Shards are independent pure functions, so generation runs in a local
+    process pool (one-time cost; bench reuses the cached files)."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    jobs = []
     for shard, start in enumerate(range(0, num_rows, rows_per_file)):
         stop = min(start + rows_per_file, num_rows)
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-        if not os.path.exists(path):
-            pq.write_table(make_pages_batch(start, stop, with_html=with_html), path)
-        paths.append(path)
-    return paths
+        jobs.append((path, start, stop, with_html))
+    todo = [j for j in jobs if not os.path.exists(j[0])]
+    if todo:
+        if len(todo) == 1:
+            _write_shard(todo[0])
+        else:
+            with ProcessPoolExecutor(max_workers=min(max_workers, len(todo))) as ex:
+                list(ex.map(_write_shard, todo))
+    return [j[0] for j in jobs]
 
 
 def synth_pages_dataset(num_rows: int, *, rows_per_block: int = 100_000,

@@ -29,6 +29,29 @@ from ..geo.cells import latlon_to_xyz
 EARTH_R = 6371008.8
 
 
+def _topk_rows(vals: np.ndarray, k: int) -> np.ndarray:
+    """Row-wise top-k column indices by descending value.
+
+    For small k this is a repeated-argmax loop: np.argpartition with a
+    small kth on wide rows hits an introselect pathology (measured 18s
+    for kth=0 on 65k x 2048 where argmax takes 0.13s)."""
+    n, s = vals.shape
+    k = min(k, s)
+    if k == 1:
+        return vals.argmax(axis=1)[:, None]  # no copy, no mutation
+    if k <= 16:
+        v = vals.copy()
+        rows = np.arange(n)
+        out = np.empty((n, k), dtype=np.int64)
+        for j in range(k):
+            am = v.argmax(axis=1)
+            out[:, j] = am
+            if j + 1 < k:
+                v[rows, am] = -np.inf
+        return out
+    return np.argpartition(-vals, k - 1, axis=1)[:, :k]
+
+
 class KnnIndex:
     """Site table -> packed unit vectors, sorted by site_id (tie-break)."""
 
@@ -40,23 +63,46 @@ class KnnIndex:
         x, y, z = latlon_to_xyz(self.lats, self.lons)
         self.xyz = np.stack([x, y, z], axis=1)  # (S, 3)
 
-    def query(self, lat: np.ndarray, lon: np.ndarray, k: int):
-        """Top-k sites per point. Returns (site_idx (N,k), dot (N,k))."""
+    def query(self, lat: np.ndarray, lon: np.ndarray, k: int,
+              site_chunk: int = 256):
+        """Top-k sites per point. Returns (site_idx (N,k), dot (N,k)).
+
+        The (N x S) dot matrix is computed in SITE CHUNKS with a running
+        top-k merge: memory stays O(N x chunk) regardless of site count
+        (a full 65k-row x 1k-site float64 matrix is 0.5 GiB per batch —
+        measured to thrash the node when an actor pool runs many batches
+        concurrently)."""
         px, py, pz = latlon_to_xyz(lat, lon)
         p = np.stack([px, py, pz], axis=1)          # (N, 3)
-        dots = p @ self.xyz.T                        # (N, S)
+        n = len(p)
         s = self.xyz.shape[0]
         k = min(k, s)
-        if k < s:
-            part = np.argpartition(-dots, k - 1, axis=1)[:, :k]
-        else:
-            part = np.broadcast_to(np.arange(s), (len(p), s)).copy()
-        pd_ = np.take_along_axis(dots, part, axis=1)
-        # order within the k candidates: dot desc, site_id asc (ids are the
-        # array order after the sorted-by-id constructor, so lexsort works)
-        ordk = np.lexsort((part, -pd_), axis=1)
-        idx = np.take_along_axis(part, ordk, axis=1)
-        return idx, np.take_along_axis(pd_, ordk, axis=1)
+        best_idx = None
+        best_dot = None
+        for c0 in range(0, s, site_chunk):
+            chunk = self.xyz[c0:c0 + site_chunk]
+            dots = p @ chunk.T                       # (N, chunk)
+            cs = dots.shape[1]
+            if k < cs:
+                part = _topk_rows(dots, k)
+            else:
+                part = np.broadcast_to(np.arange(cs), (n, cs)).copy()
+            pd_ = np.take_along_axis(dots, part, axis=1)
+            part = part + c0
+            if best_idx is None:
+                best_idx, best_dot = part, pd_
+            else:
+                best_idx = np.concatenate([best_idx, part], axis=1)
+                best_dot = np.concatenate([best_dot, pd_], axis=1)
+                if best_idx.shape[1] > k:
+                    sel = _topk_rows(best_dot, k)
+                    best_idx = np.take_along_axis(best_idx, sel, axis=1)
+                    best_dot = np.take_along_axis(best_dot, sel, axis=1)
+        # final order within the k candidates: dot desc, site_id asc (ids
+        # are the array order after the sorted-by-id constructor)
+        ordk = np.lexsort((best_idx, -best_dot), axis=1)
+        idx = np.take_along_axis(best_idx, ordk, axis=1)
+        return idx[:, :k], np.take_along_axis(best_dot, ordk, axis=1)[:, :k]
 
 
 class KnnJoin:

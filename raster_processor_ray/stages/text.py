@@ -107,6 +107,58 @@ class QualityScore:
         return batch
 
 
+class PageScorer:
+    """Combined language-ID + quality scoring in ONE actor pass (the
+    flagship's per-page 'model inference' stage: compiled regexes +
+    per-language profiles built once per actor, applied per page).
+
+    Cost profile mirrors real training-data filters (CCNet/Gopher-style
+    heuristics, fasttext-class langid): tens of microseconds per page of
+    pure CPU — the compute-bound stage of the pipeline.
+
+    Appends ``quality:float64`` and ``lang_pred:string`` to the batch.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def score_one(self, t: str) -> tuple[float, str]:
+        words = self.word_re.findall(t)
+        nw = len(words)
+        if nw == 0:
+            return 0.0, "und"
+        lower = [w.lower() for w in words]
+        best, best_s = "und", 0.0
+        for lang, prof in self.profiles.items():
+            s = sum(1 for w in lower if w in prof) / nw
+            if s > best_s:
+                best, best_s = lang, s
+        mwl = sum(len(w) for w in words) / nw
+        punct = len(self.punct_re.findall(t)) / max(1, len(t))
+        upper = sum(1 for c in t if c.isupper()) / max(1, len(t))
+        quality = (min(nw / 100.0, 1.0) * 0.3 + min(mwl / 8.0, 1.0) * 0.2
+                   + min(best_s * 5.0, 1.0) * 0.3
+                   + (1.0 - min(punct * 4.0, 1.0)) * 0.1
+                   + (1.0 - min(upper * 4.0, 1.0)) * 0.1)
+        return quality, best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        qual = np.empty(len(col), dtype=np.float64)
+        langs = []
+        for i, t in enumerate(col.to_pylist()):
+            q, l = self.score_one(t or "")
+            qual[i] = q
+            langs.append(l)
+        out = batch.append_column("quality", pa.array(qual))
+        return out.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace + BPE-ish token counts, vectorized via pyarrow compute.
 

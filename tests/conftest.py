@@ -1,4 +1,11 @@
+import os
+
 import pytest
+
+# see bench.py: avoid per-allocation mmap for large numpy buffers
+# (this sandbox throttles page first-touch; workers inherit these)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 @pytest.fixture(scope="session", autouse=True)
