@@ -116,6 +116,70 @@ def broadcast_lookup(ds, lookup: pd.DataFrame, on: str, cols: list[str]):
     return ds.map_batches(Lookup, batch_format="pandas", concurrency=2, num_cpus=0.5)
 
 
+def hash_join(left, right, on: str | list[str], how: str = "inner", *,
+              num_buckets: int = 32, suffix: str = "_r"):
+    """Partitioned hash join for two LARGE datasets (the portable Ray Data
+    pattern: add ``bucket = hash(key) % B`` to both sides, group by
+    bucket, pandas-merge within each bucket — one shuffle per side, no
+    driver materialization). Broadcast-join the small side instead
+    (``broadcast_lookup``) when one side fits in memory.
+
+    Rows from ``left`` and ``right`` are tagged and unioned so ONE keyed
+    exchange co-locates both sides of each bucket.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(how)
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    # disambiguate right columns that CONFLICT with left ones (pandas
+    # suffix semantics: non-conflicting names pass through unchanged)
+    rmap = {c: (c + suffix if (c not in on and c in lcols) else c)
+            for c in rcols}
+    rcols_out = [rmap[c] for c in rcols]
+    all_cols = lcols + [c for c in rcols_out if c not in lcols]
+
+    def tag(side: str, rename: dict | None):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns=rename) if rename else df.copy()
+            for c in all_cols:          # align schemas for the union
+                if c not in df.columns:
+                    df[c] = None
+            df = df[all_cols]
+            df["_side"] = side
+            df["_bucket"] = _key_bucket(df, on, num_buckets)
+            return df
+        return fn
+
+    both = left.map_batches(tag("l", None), batch_format="pandas").union(
+        right.map_batches(tag("r", rmap), batch_format="pandas"))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # None-padding for the union leaves object dtype; restore natives
+        l = df[df._side == "l"][lcols].infer_objects()
+        r = df[df._side == "r"][rcols_out].infer_objects()
+        if how == "semi":
+            return l[l.set_index(on).index.isin(r.set_index(on).index)]
+        if how == "anti":
+            return l[~l.set_index(on).index.isin(r.set_index(on).index)]
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def subsample_every_k(ds, k: int, index_col: str):
+    """Deterministic 1-in-k subsample by an index column (the reference's
+    GDEM decimation, make_raster_region_maps.py:129-133) — a filter, not a
+    random sample: reproducible across runs/cluster sizes."""
+    import pyarrow as _pa
+
+    def f(b: _pa.Table) -> _pa.Table:
+        idx = np.asarray(b[index_col]).astype(np.int64)
+        return b.filter(_pa.array(idx % k == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def topk(ds, by: str, k: int, *, descending: bool = True, tie_col: str | None = None):
     """Global top-k without a global sort: per-batch partial top-k, then a
     single tiny combine (same shape as partial aggregation)."""

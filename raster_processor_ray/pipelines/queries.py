@@ -621,6 +621,51 @@ FROM (
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
+def q_join_orders_customers(sf_dir: str):
+    """Partitioned hash join (both sides shuffled; the reference has no
+    generic relational join — SURVEY.md §2.4 — this is the engine's
+    addition for when neither side is broadcastable)."""
+    from ..aggregate.relational import hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow")
+    out = hash_join(orders, cust, "o_custkey", "inner")
+    return out.map_batches(lambda df: df[["o_orderkey", "o_totalprice", "c_name"]],
+                           batch_format="pandas")
+
+
+SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_subsample_docs(sf_dir: str):
+    """O4: deterministic 1-in-7 decimation by doc_id."""
+    from ..aggregate.relational import subsample_every_k
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return subsample_every_k(ds, 7, "doc_id")
+
+
+SQL_SUBSAMPLE_DOCS = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0"
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (random-hyperplane LSH ->
+    bucket groupby -> exact verify). Threshold 0.35 is calibrated to the
+    synthetic embeddings (max off-diagonal cosine ~0.51); production
+    near-dup thresholds are ~0.9."""
+    from ..stages.ann import cosine_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_near_dup_pairs(ds, threshold=0.35, num_bits=16, num_bands=8)
+
+
 def q_rasterize_samples(sf_dir: str):
     """The full SWOT-semantics rasterization (A1-A13 incl. two-pass
     fallback) over the deterministic samples table. Oracle = the per-cell
@@ -715,6 +760,9 @@ def queries() -> dict:
         "lang_counts": q_lang_counts,
         "token_counts": q_token_counts,
         "ann_top5": q_ann_top5,
+        "join_orders_customers": q_join_orders_customers,
+        "subsample_docs": q_subsample_docs,
+        "embed_near_dup": q_embed_near_dup,
         "rasterize_samples": q_rasterize_samples,
         "minhash_pairs": q_minhash_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -748,4 +796,6 @@ def oracle_sql() -> dict:
         "lang_counts": SQL_LANG_COUNTS,
         "token_counts": SQL_TOKEN_COUNTS,
         "ann_top5": SQL_ANN_TOP5,
+        "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
+        "subsample_docs": SQL_SUBSAMPLE_DOCS,
     }

@@ -130,6 +130,86 @@ class IvfAssign:
         return batch.append_column("ivf_bucket", pa.array(bucket))
 
 
+def _hyperplanes(dim: int, num_bits: int) -> np.ndarray:
+    """Deterministic random hyperplanes (splitmix-seeded; no RNG state)."""
+    from ..geo.hashing import splitmix64
+
+    idx = np.arange(num_bits * dim, dtype=np.uint64)
+    u = splitmix64(idx).astype(np.float64) / 2**64
+    # inverse-normal-ish via sum of uniforms (CLT; adequate for LSH)
+    u2 = splitmix64(idx + np.uint64(1 << 40)).astype(np.float64) / 2**64
+    g = (u + u2 - 1.0)
+    return g.reshape(num_bits, dim)
+
+
+def cosine_near_dup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                          threshold: float = 0.9, num_bits: int = 32,
+                          num_bands: int = 4):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Map-side: sign-signature of each vector against ``num_bits``
+    deterministic hyperplanes, split into ``num_bands`` band keys.
+    ONE shuffle on (band, band_key); exact cosine verification inside each
+    bucket; pairs (id_a < id_b, cosine >= threshold) deduped per id_a.
+    """
+    import ray
+
+    sample = ds.limit(1).to_pandas()
+    dim = len(sample[vec_col].iloc[0])
+    planes_ref = ray.put(_hyperplanes(dim, num_bits))
+    bits_per_band = num_bits // num_bands
+
+    class Signature:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch[vec_col]))
+            bits = (m @ self.planes.T) > 0                    # (n, num_bits)
+            ids = np.asarray(batch[id_col])
+            n = len(ids)
+            out_ids, out_band, out_key = [], [], []
+            weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+            for band in range(num_bands):
+                seg = bits[:, band * bits_per_band:(band + 1) * bits_per_band]
+                key = (seg.astype(np.int64) * weights).sum(axis=1)
+                out_ids.append(ids)
+                out_band.append(np.full(n, band, dtype=np.int64))
+                out_key.append(key)
+            rep = np.concatenate(out_ids)
+            vecs = np.tile(m, (num_bands, 1))  # band-major, matches rep
+            return pa.table({
+                id_col: pa.array(rep),
+                "band": pa.array(np.concatenate(out_band)),
+                "band_key": pa.array(np.concatenate(out_key)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), type=pa.float32()), dim),
+            })
+
+    import pandas as pd
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=[id_col])
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = df[id_col].to_numpy()
+        m = np.stack(df["vec"].to_numpy()).astype(np.float64)
+        sims = m @ m.T
+        a, b = np.triu_indices(len(ids), 1)
+        keep = sims[a, b] >= threshold
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[a, b][keep]})
+
+    pairs = (ds.map_batches(Signature, batch_format="pyarrow", concurrency=2,
+                            num_cpus=0.5)
+             .groupby(["band", "band_key"])
+             .map_groups(verify, batch_format="pandas"))
+    return pairs.groupby("id_a").map_groups(
+        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]),
+        batch_format="pandas")
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding",
              id_col: str = "vec_id", num_centroids: int = 16, nprobe: int = 4):
     """Approximate top-k: probe only the nprobe nearest centroid buckets."""
