@@ -28,8 +28,12 @@ def timestamp_to_swot_seconds(col) -> pa.Array:
 
 
 def format_utc(col) -> pa.Array:
-    """timestamp[us] -> 'YYYY-MM-DDTHH:MM:SSZ' strings (products.py:1196-1210)."""
-    return pc.strftime(col, format="%Y-%m-%dT%H:%M:%SZ")
+    """timestamp[us] -> 'YYYY-MM-DDTHH:MM:SSZ' strings (products.py:1196-1210).
+
+    Arrow's %S renders fractional seconds on sub-second types, so truncate
+    to second precision first."""
+    secs = pc.cast(col, pa.timestamp("s"), safe=False)
+    return pc.strftime(secs, format="%Y-%m-%dT%H:%M:%SZ")
 
 
 def parse_utc(col) -> pa.Array:
