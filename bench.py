@@ -79,10 +79,21 @@ def run_bench() -> dict:
     ensure_pages()
 
     # pre-warm the worker pool so the headline measures steady-state
-    # compute + shuffle, not one-time worker process spawn
+    # compute + shuffle, not one-time worker spawn + package import:
+    # the warm task runs a real engine kernel so numpy/pyarrow/the
+    # package are imported in every worker before the clock starts
     import ray.data as rd
+
+    def warm(b):
+        import pyarrow as _pa
+
+        from raster_processor_ray.stages.geotag import geotag_and_cell_encode
+        t = _pa.table({"url": _pa.array(["https://w.example/1"])})
+        geotag_and_cell_encode(t, grid=None)
+        return b
+
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        lambda b: b, batch_format="pyarrow").count()
+        warm, batch_format="pyarrow").count()
 
     # Bench grid: 0.5-degree global cells. The production default
     # (0.01 deg, ~648M cells) is sized for 10^12 docs (~1.5k docs/cell);
@@ -142,12 +153,23 @@ def run_scaling():
     # writers, which would measure the throttle, not the engine.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo)))
-    r_lo = sub(lo)
-    r_hi = sub(hi)
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
+    # the sandbox throttle is bursty: take the min of `repeats` fresh runs
+    # per level (the least-interference measurement), interleaved so both
+    # levels see the same phases of background noise
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(sub(lo))
+        runs_hi.append(sub(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
-        "metric": f"scaling efficiency, fresh-process num_cpus={lo} vs {hi}",
+        "metric": f"scaling efficiency, fresh-process num_cpus={lo} vs {hi} "
+                  f"(min of {repeats} runs per level)",
         f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
         f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),

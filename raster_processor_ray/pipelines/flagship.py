@@ -243,7 +243,7 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                       grid: GridSpec = GLOBAL_GEO_GRID,
                       cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
                       read_blocks: int | None = None, knn_sites: int = 1000,
-                      knn_refine: int = 8, **_compat):
+                      knn_refine: int = 12, **_compat):
     """The full spatial-join + tiling pipeline (the north-star DAG):
 
         read(pruned) -> fused enrich tasks (vectorized quality features,

@@ -99,33 +99,58 @@ def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 128) -> np.nda
     return m.min(axis=1)
 
 
+def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
+                             shingle_k: int = 5) -> np.ndarray:
+    """(ndocs, num_perm) MinHash signatures, vectorized ACROSS docs:
+    one concatenated shingle-hash array + ``np.minimum.reduceat`` per
+    permutation (no per-doc Python in the permutation loop)."""
+    shingles = _char_shingle_hashes(texts, shingle_k)
+    lengths = np.array([len(s) for s in shingles], dtype=np.int64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    h = (np.concatenate(shingles) if len(shingles) else
+         np.empty(0, dtype=np.uint64))
+    sig = np.full((len(texts), num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                  dtype=np.uint64)
+    nonempty = lengths > 0
+    if h.size:
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                m = h * _MH_A[p] + _MH_B[p]
+                mins = np.minimum.reduceat(m, starts[nonempty])
+                sig[nonempty, p] = mins
+    return sig
+
+
+def _band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """(ndocs, num_bands) uint64 bucket keys: FNV over each band's slice,
+    vectorized over docs and bands."""
+    ndocs, num_perm = sig.shape
+    rows_per_band = num_perm // num_bands
+    bands = sig.reshape(ndocs, num_bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        bh = np.full((ndocs, num_bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for c in range(rows_per_band):
+            for shift in (0, 32):
+                bh = (bh ^ ((bands[:, :, c] >> np.uint64(shift))
+                            & np.uint64(0xFFFFFFFF))) * np.uint64(0x100000001B3)
+    return bh
+
+
 def minhash_batch(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 128, shingle_k: int = 5,
                   num_bands: int = 32) -> pa.Table:
     """Per doc: minhash signature -> LSH band keys. Emits long-form
     (id, band, band_hash) rows — the groupby key for candidate buckets."""
-    texts = batch[text_col].to_pylist()
+    texts = [t or "" for t in batch[text_col].to_pylist()]
     ids = np.asarray(batch[id_col])
-    rows_per_band = num_perm // num_bands
-    all_ids, all_bands, all_hashes = [], [], []
-    for i, t in enumerate(texts):
-        sig = minhash_signature(
-            _char_shingle_hashes([t or ""], shingle_k)[0], num_perm)
-        bands = sig.reshape(num_bands, rows_per_band)
-        # hash each band's slice to one uint64 bucket key
-        with np.errstate(over="ignore"):
-            bh = np.full(num_bands, 0xCBF29CE484222325, dtype=np.uint64)
-            for c in range(rows_per_band):
-                for shift in (0, 32):
-                    bh = (bh ^ ((bands[:, c] >> np.uint64(shift)) & np.uint64(0xFFFFFFFF))) \
-                        * np.uint64(0x100000001B3)
-        all_ids.append(np.full(num_bands, ids[i]))
-        all_bands.append(np.arange(num_bands, dtype=np.int64))
-        all_hashes.append(bh)
+    sig = minhash_signatures_batch(texts, num_perm, shingle_k)
+    bh = _band_hashes(sig, num_bands)
+    n = len(texts)
     return pa.table({
-        id_col: pa.array(np.concatenate(all_ids)),
-        "band": pa.array(np.concatenate(all_bands)),
-        "band_hash": pa.array(np.concatenate(all_hashes).astype(np.int64)),
+        id_col: pa.array(np.repeat(ids, num_bands)),
+        "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int64), n)),
+        "band_hash": pa.array(bh.ravel().astype(np.int64)),
     })
 
 
