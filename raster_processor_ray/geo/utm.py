@@ -105,7 +105,11 @@ def latlon_to_utm(lat_deg, lon_deg, zone=None):
         eta += _ALPHA[k] * np.cos(j * xi_p) * np.sinh(j * eta_p)
     easting = FALSE_EASTING + K0 * _A * eta
     northing = K0 * _A * xi
-    northing = np.where(northing < 0, northing + FALSE_NORTHING_SOUTH, northing)
+    # hemisphere from the INPUT latitude, matching the `northern = lat >= 0`
+    # caller convention exactly (deciding from sign(northing) disagrees at
+    # the equator for -0.0 / subnormal latitudes)
+    south = np.asarray(lat_deg, dtype=np.float64) < 0
+    northing = np.where(south, northing + FALSE_NORTHING_SOUTH, northing)
     return easting, northing, zone
 
 
