@@ -1,0 +1,85 @@
+"""Pipeline-level invariants (FIXTURES.md F5.4/F5.5, BASELINE.md gate):
+byte-identical text/html per url through every row-level stage; dedup
+survivor set for duplicated urls."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raster_processor_ray.sources.pages import make_pages_batch
+from raster_processor_ray.stages.dedup import exact_dedup
+from raster_processor_ray.stages.geotag import geotag_and_cell_encode
+from raster_processor_ray.stages.knn import knn_join
+from raster_processor_ray.stages.pip import PolygonSpec, pip_join
+
+N = 5000
+
+
+def _hashes(df: pd.DataFrame) -> dict:
+    out = {}
+    for u, t, h in zip(df.url, df.text, df.html):
+        out[u] = (hashlib.sha256(t.encode()).hexdigest(),
+                  hashlib.sha256(h or b"").hexdigest())
+    return out
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return make_pages_batch(0, N)
+
+
+@pytest.fixture(scope="module")
+def golden(pages):
+    return _hashes(pages.to_pandas())
+
+
+class TestByteIdentity:
+    def test_through_geotag_pip_knn(self, pages, golden, ray_session):
+        """text AND html bytes unchanged per url after geotag -> PIP
+        inner join -> kNN join (the full row-level stage chain)."""
+        ds = rd.from_arrow(pages).repartition(4)
+        ds = ds.map_batches(geotag_and_cell_encode, batch_format="pyarrow")
+        polys = [PolygonSpec(1, "west", np.array(
+            [[-180.0, -90.0], [0.0123, -90.0], [0.0123, 90.0], [-180.0, 90.0]])),
+            PolygonSpec(2, "east", np.array(
+            [[0.0123, -90.0], [180.0, -90.0], [180.0, 90.0], [0.0123, 90.0]]))]
+        ds = pip_join(ds, polys, "inner")
+        ds = knn_join(ds, np.array([1, 2]), np.array([10.0, -10.0]),
+                      np.array([10.0, -10.0]), k=1)
+        out = ds.to_pandas()
+        # every url survived (the two boxes cover the globe) exactly once
+        # per (polygon x knn_rank) combination
+        assert set(out.url) == set(golden)
+        after = _hashes(out.drop_duplicates("url"))
+        assert after == {u: golden[u] for u in after}
+
+    def test_shuffle_never_touches_text(self, pages, ray_session):
+        """The rasterize path projects text away before the shuffle —
+        by construction the aggregate output carries no payload columns."""
+        from raster_processor_ray.pipelines.flagship import rasterize_pages
+
+        cells = rasterize_pages(rd.from_arrow(pages).repartition(4))
+        cols = set(cells.schema().names)
+        assert "text" not in cols and "html" not in cols and "url" not in cols
+
+
+class TestDedupGolden:
+    def test_duplicated_urls_keep_first_by_ts(self, ray_session):
+        """F5.5: duplicated-url input -> survivor = earliest warc_ts
+        (tie-break url is vacuous per-key; asserted via golden set)."""
+        base = make_pages_batch(0, 200, with_html=False).to_pandas()
+        dup = base.copy()
+        dup["warc_ts"] = dup.warc_ts + pd.Timedelta(seconds=1)
+        dup["text"] = dup.text + " [dup]"
+        both = pd.concat([dup, base])  # duplicates FIRST in input order
+        ds = rd.from_pandas(both).repartition(4)
+        out = exact_dedup(ds, "url", "warc_ts").to_pandas()
+        assert len(out) == 200
+        merged = out.merge(base, on="url", suffixes=("", "_orig"))
+        # survivor is the original (earlier ts), never the "[dup]" copy
+        assert (merged.text == merged.text_orig).all()
