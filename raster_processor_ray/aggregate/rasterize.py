@@ -336,10 +336,16 @@ def finalize_cells(batch: pa.Table, grid: GridSpec, cfg: AggConfig = C.DEFAULT_A
     dark_area = fam("dark_area")
     water_area_u = np.sqrt(fam("sum_frac_u2"))
 
-    # geodetic cell area for the water-fraction denominator
-    lat_lo = grid.y_min + (iy.astype(np.float64) - 0.5) * grid.res
-    lat_hi = lat_lo + grid.res
-    cell_area = crs.wgs84_cell_area(lat_lo, lat_hi, grid.res)
+    # cell area for the water-fraction denominator: projected (UTM-style)
+    # grids use res^2 (reference raster_agg.py aggregate_water_area,
+    # projection_type=='utm'); geographic grids use the geodetic WGS84
+    # patch area (raster_crs.py:30-46)
+    if grid.projected:
+        cell_area = np.full(m, grid.res * grid.res)
+    else:
+        lat_lo = grid.y_min + (iy.astype(np.float64) - 0.5) * grid.res
+        lat_hi = lat_lo + grid.res
+        cell_area = crs.wgs84_cell_area(lat_lo, lat_hi, grid.res)
     with np.errstate(invalid="ignore", divide="ignore"):
         water_frac = np.where(n_area > 0, water_area / cell_area, np.nan)
         dark_frac = np.where(water_area > 0, dark_area / water_area, 0.0)

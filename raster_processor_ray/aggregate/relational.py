@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..geo.hashing import fnv1a_64
+from ..geo.hashing import fnv1a_64, splitmix64
 
 _PARTIAL_FNS = {"sum": "sum", "count": "count", "mean": None, "min": "min", "max": "max"}
 
@@ -49,10 +49,26 @@ def _partial_spec(spec):
 
 
 def _key_bucket(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
-    rep = df[keys[0]].astype(str)
-    for k in keys[1:]:
-        rep = rep + "\x1f" + df[k].astype(str)
-    h = fnv1a_64(pa.array(rep.to_numpy(dtype=object), type=pa.string()))
+    """Bucket id from key columns, CANONICALIZED by value not repr:
+    numeric keys (int/float/bool, any width) hash their float64 value, so
+    int64 1 and float64 1.0 land in the same bucket on both join sides
+    (a str()-repr hash would split them and silently drop matches).
+    Non-numeric keys hash native string bytes — no pandas str() round-trip.
+    int64 keys above 2^53 may share a bucket after the float cast; bucket
+    collisions are harmless (equality is decided inside the bucket)."""
+    h = np.zeros(len(df), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = df[k]
+            if pd.api.types.is_numeric_dtype(col) or pd.api.types.is_bool_dtype(col):
+                v = col.to_numpy(dtype=np.float64, na_value=np.nan, copy=True)
+                v += 0.0                       # -0.0 -> 0.0
+                v[np.isnan(v)] = np.nan        # canonical NaN payload
+                hk = splitmix64(v.view(np.uint64))
+            else:
+                hk = fnv1a_64(pa.array(col.astype(str).to_numpy(dtype=object),
+                                       type=pa.string()))
+            h = splitmix64(h ^ hk)
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
@@ -101,17 +117,17 @@ def broadcast_lookup(ds, lookup: pd.DataFrame, on: str, cols: list[str]):
     (the reference's T3/J3 raster-value lookup shape) — no shuffle."""
     import ray
 
-    ref = ray.put({c: lookup.set_index(on)[c].to_dict() for c in cols})
+    # keep-last on duplicate keys (dict-insertion semantics)
+    ref = ray.put(lookup[[on] + cols].drop_duplicates(subset=[on], keep="last"))
 
     class Lookup:
         def __init__(self):
-            self.maps = ray.get(ref)
+            self.table: pd.DataFrame = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            for c, m in self.maps.items():
-                df[c] = df[on].map(m)
-            return df
+            # vectorized left merge against the broadcast frame (no per-row
+            # dict hashing); preserve the input row order
+            return df.merge(self.table, on=on, how="left", sort=False)
 
     return ds.map_batches(Lookup, batch_format="pandas", concurrency=2, num_cpus=0.5)
 
@@ -130,34 +146,62 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     on = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(how)
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
     # disambiguate right columns that CONFLICT with left ones (pandas
     # suffix semantics: non-conflicting names pass through unchanged)
     rmap = {c: (c + suffix if (c not in on and c in lcols) else c)
             for c in rcols}
     rcols_out = [rmap[c] for c in rcols]
     all_cols = lcols + [c for c in rcols_out if c not in lcols]
+    # arrow type per output column (for typed-null padding + dtype restore);
+    # ray schemas of non-arrow-origin datasets can report plain Python
+    # types — fall back to null-type padding (unioned as untyped nulls)
+    def _pa_type(t):
+        return t if isinstance(t, pa.DataType) else pa.null()
 
-    def tag(side: str, rename: dict | None):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.rename(columns=rename) if rename else df.copy()
-            for c in all_cols:          # align schemas for the union
-                if c not in df.columns:
-                    df[c] = None
-            df = df[all_cols]
-            df["_side"] = side
-            df["_bucket"] = _key_bucket(df, on, num_buckets)
-            return df
+    col_type = {c: _pa_type(t) for c, t in zip(lcols, lschema.types)}
+    for c, t in zip(rcols, rschema.types):
+        col_type.setdefault(rmap[c], _pa_type(t))
+
+    def tag(side_flag: int, rename: dict | None):
+        def fn(b: pa.Table) -> pa.Table:
+            if rename:
+                b = b.rename_columns([rename.get(c, c) for c in b.column_names])
+            n = b.num_rows
+            # TYPED null padding: absent columns union as all-null arrays
+            # of the other side's arrow type — validity bitmaps only, not
+            # a schema-width duplication of real values, and no object-
+            # dtype round trip in the reducers
+            arrays = [b[c] if c in b.column_names else pa.nulls(n, type=col_type[c])
+                      for c in all_cols]
+            t = pa.table(dict(zip(all_cols, arrays)))
+            key_df = b.select(on).to_pandas()
+            t = t.append_column("_side", pa.array(
+                np.full(n, side_flag, dtype=np.int8)))
+            return t.append_column("_bucket", pa.array(
+                _key_bucket(key_df, on, num_buckets)))
         return fn
 
-    both = left.map_batches(tag("l", None), batch_format="pandas").union(
-        right.map_batches(tag("r", rmap), batch_format="pandas"))
+    both = left.map_batches(tag(0, None), batch_format="pyarrow").union(
+        right.map_batches(tag(1, rmap), batch_format="pyarrow"))
+
+    def restore_dtypes(sub: pd.DataFrame) -> pd.DataFrame:
+        # padded-null rows were dropped with the other side; bring integer
+        # columns back from the float64 that pandas uses for nullable ints
+        for c in sub.columns:
+            t = col_type.get(c)
+            if (t is not None and pa.types.is_integer(t)
+                    and not pd.api.types.is_integer_dtype(sub[c])
+                    and sub[c].notna().all()):
+                sub[c] = sub[c].astype(t.to_pandas_dtype())
+        return sub
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # None-padding for the union leaves object dtype; restore natives
-        l = df[df._side == "l"][lcols].infer_objects()
-        r = df[df._side == "r"][rcols_out].infer_objects()
+        l = restore_dtypes(df[df._side == 0][lcols])
+        r = restore_dtypes(df[df._side == 1][rcols_out])
         if how == "semi":
             return l[l.set_index(on).index.isin(r.set_index(on).index)]
         if how == "anti":

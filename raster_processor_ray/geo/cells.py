@@ -175,7 +175,10 @@ class GridSpec:
     y_max: float
     res: float
     tile_size: int = 256
-    wrap_lon: bool = False  # geo grids: wrap x into [x_min, x_min+360)
+    wrap_lon: bool = False   # geo grids: wrap x into [x_min, x_min+360)
+    projected: bool = False  # True: x/y are meters (UTM-style), cell area
+    #                          is res^2; False: x/y are degrees, cell area
+    #                          is the geodetic WGS84 patch area
 
     @property
     def size_x(self) -> int:

@@ -33,7 +33,8 @@ from ..state import lineage
 def rasterize_pages(pages_ds, *, grid: GridSpec = GLOBAL_GEO_GRID,
                     cfg: AggConfig = DEFAULT_AGG, num_buckets: int = 64,
                     checkpoint_partials_dir: str | None = None,
-                    resume: bool = False):
+                    resume: bool = False,
+                    input_fingerprint: str | None = None):
     """pages Dataset -> raster cells Dataset (lazy until consumed).
 
     Pages have no sample-measure columns, so the rasterizer reduces to the
@@ -63,12 +64,18 @@ def rasterize_pages(pages_ds, *, grid: GridSpec = GLOBAL_GEO_GRID,
         lambda b: partial_aggregate_batch(b, cfg), batch_format="pyarrow")
 
     if checkpoint_partials_dir:
-        if resume and lineage.finished_shards(checkpoint_partials_dir):
-            partials = lineage.read_resumable(checkpoint_partials_dir)
-        else:
+        # resume may skip recomputation ONLY when the run-level manifest
+        # proves the checkpoint is complete AND belongs to this input;
+        # otherwise write_resumable fills the missing shards (finished
+        # ones are skipped) — a partially-written checkpoint never
+        # silently loses the unwritten shards
+        if not (resume and lineage.is_complete(
+                checkpoint_partials_dir, input_fingerprint=input_fingerprint,
+                num_shards=num_buckets)):
             lineage.write_resumable(partials, checkpoint_partials_dir,
-                                    key_col="grid_cell", num_shards=num_buckets)
-            partials = lineage.read_resumable(checkpoint_partials_dir)
+                                    key_col="grid_cell", num_shards=num_buckets,
+                                    input_fingerprint=input_fingerprint)
+        partials = lineage.read_resumable(checkpoint_partials_dir)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         bucket = np.asarray(b["grid_cell"]).astype(np.int64) % num_buckets
@@ -243,23 +250,28 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                       grid: GridSpec = GLOBAL_GEO_GRID,
                       cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
                       read_blocks: int | None = None, knn_sites: int = 1000,
-                      knn_refine: int = 12, **_compat):
+                      knn_refine: int = 12, enrich_concurrency: int | None = None,
+                      enrich_batch_size: int = 8192):
     """The full spatial-join + tiling pipeline (the north-star DAG):
 
         read(pruned) -> fused enrich tasks (vectorized quality features,
            geotag + S2-30/hex/UTM/grid encodes, broadcast PIP coverage
            mask, kNN with exact geodesic refinement; index state cached
            once per worker process)
-        -> ONE rasterize shuffle (mean/weighted quality per cell)
-        -> ONE zonal shuffle (dominant site per cell, count-argmax)
-        -> resumable sharded writes of both outputs
+           ... fused with BOTH map-side partial families (rasterize
+           partials + per-(cell, site) zonal counts) in the SAME pass —
+           the full enriched page stream is never materialized
+        -> ONE combined shuffle keyed on grid_cell bucket
+        -> per-bucket combine + finalize (cells + dominant-site argmax)
+        -> the finalized cells (bounded by grid size, not page count) are
+           pinned once and written to both resumable outputs
 
     Returns (tiles_manifest, zonal_manifest).
     """
+    import pandas as pd
     import ray
     import ray.data as rd
 
-    from ..aggregate.zonal import zonal_mode
     from ..stages.knn import KnnIndex
     from ..stages.pip import PolygonIndex
 
@@ -273,23 +285,78 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
     poly_ref = ray.put(PolygonIndex(coverage_polygons()))
     ids, slat, slon = bench_sites(knn_sites)
     knn_ref = ray.put(KnnIndex(ids, slat, slon))
+    num_buckets = num_out_shards
 
-    def enrich(batch: pa.Table) -> pa.Table:
-        return _cached_enricher(grid, poly_ref, knn_ref, knn_refine)(batch)
+    def enrich_partials(batch: pa.Table) -> pa.Table:
+        """Enrich + BOTH partial families in one pass over the stream
+        (``_fam`` 0 = rasterize partials, 1 = zonal site counts).
+        Arrow unions the two families with typed nulls — validity
+        bitmaps, not duplicated values."""
+        e = _cached_enricher(grid, poly_ref, knn_ref, knn_refine)(batch)
+        p = partial_aggregate_batch(e.select(["grid_cell", "value", "ts"]), cfg)
+        zdf = (e.select(["grid_cell", "site_id"]).to_pandas()
+               .groupby(["grid_cell", "site_id"], as_index=False).size())
+        pn, zn = p.num_rows, len(zdf)
+        cols: dict[str, pa.Array] = {}
+        cols["grid_cell"] = pa.concat_arrays([
+            pa.array(np.asarray(p["grid_cell"]), type=pa.int64()),
+            pa.array(zdf["grid_cell"].to_numpy(np.int64))])
+        for name in p.column_names:
+            if name == "grid_cell":
+                continue
+            arr = p[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[name] = pa.concat_arrays([arr, pa.nulls(zn, type=arr.type)])
+        cols["site_id"] = pa.concat_arrays([
+            pa.nulls(pn, type=pa.int64()),
+            pa.array(zdf["site_id"].to_numpy(np.int64))])
+        cols["site_cnt"] = pa.concat_arrays([
+            pa.nulls(pn, type=pa.int64()),
+            pa.array(zdf["size"].to_numpy(np.int64))])
+        cols["_fam"] = pa.array(
+            np.repeat(np.array([0, 1], dtype=np.int8), [pn, zn]))
+        cells = np.concatenate([np.asarray(p["grid_cell"], dtype=np.int64),
+                                zdf["grid_cell"].to_numpy(np.int64)])
+        cols["_bucket"] = pa.array(cells % num_buckets)
+        return pa.table(cols)
 
-    enriched = ds.map_batches(enrich, batch_format="pyarrow", batch_size=8192)
-    # two consumers (tiles + zonal) — pin the enriched pages once instead
-    # of re-running enrichment per consumer (narrow numeric columns)
-    enriched = enriched.materialize()
+    def combine_and_finalize(df: pd.DataFrame) -> pa.Table:
+        fam = df["_fam"].to_numpy()
+        r = df[fam == 0].drop(columns=["_fam", "_bucket", "site_id", "site_cnt"])
+        combined = combine_partials_df(r, cfg)
+        fin = finalize_cells(
+            pa.Table.from_pandas(combined, preserve_index=False), grid, cfg
+        ).to_pandas()
+        # the _fam==0 rows' typed nulls made these columns float64 in
+        # pandas; the zonal subset has no nulls — restore int64
+        z = df[fam == 1][["grid_cell", "site_id", "site_cnt"]].astype(
+            {"site_id": np.int64, "site_cnt": np.int64})
+        zc = z.groupby(["grid_cell", "site_id"], as_index=False)["site_cnt"].sum()
+        zc = zc.sort_values(["grid_cell", "site_cnt", "site_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = zc.drop_duplicates(subset=["grid_cell"], keep="first").rename(
+            columns={"site_id": "mode_label", "site_cnt": "mode_count"})
+        fin = fin.merge(top, on="grid_cell", how="left", sort=False)
+        return pa.Table.from_pandas(fin, preserve_index=False)
 
-    cells_out = rasterize(
-        enriched.select_columns(["grid_cell", "value", "ts"]), grid, cfg)
+    cells_final = (
+        ds.map_batches(enrich_partials, batch_format="pyarrow",
+                       batch_size=enrich_batch_size,
+                       **({"concurrency": enrich_concurrency}
+                          if enrich_concurrency else {}))
+        .groupby("_bucket")
+        .map_groups(combine_and_finalize, batch_format="pandas")
+    )
+    # pin the FINALIZED cells (one row per grid cell — bounded by the grid,
+    # ~1e5 at bench res and ~1e8 at production res, vs 1e12 input pages)
+    # so the two writes don't recompute the pipeline
+    cells_final = cells_final.materialize()
+
     tiles_manifest = lineage.write_resumable(
-        cells_out, os.path.join(out_dir, "tiles"), key_col="tile_id",
+        cells_final, os.path.join(out_dir, "tiles"), key_col="tile_id",
         num_shards=num_out_shards, sort_cols=["tile_id", "iy", "ix"])
-
-    zonal = zonal_mode(enriched.select_columns(["grid_cell", "site_id"]),
-                       cell_col="grid_cell", label_col="site_id")
+    zonal = cells_final.select_columns(["grid_cell", "mode_label", "mode_count"])
     zonal_manifest = lineage.write_resumable(
         zonal, os.path.join(out_dir, "dominant_site"), key_col="grid_cell",
         num_shards=num_out_shards, sort_cols=["grid_cell"])
@@ -309,17 +376,19 @@ def run_flagship(pages_path_or_ds, out_dir: str, *, grid: GridSpec = GLOBAL_GEO_
     """
     import ray.data as rd
 
+    fingerprint = None
     if isinstance(pages_path_or_ds, (str, list)):
         kw = {"override_num_blocks": read_blocks} if read_blocks else {}
         # prune at the read: the rasterization consumes only these three
         # columns — html (the widest column by far) never leaves storage
         ds = rd.read_parquet(pages_path_or_ds,
                              columns=["url", "warc_ts", "text"], **kw)
+        fingerprint = lineage.input_fingerprint_from_paths(pages_path_or_ds)
     else:
         ds = pages_path_or_ds
     cells = rasterize_pages(ds, grid=grid, cfg=cfg,
                             checkpoint_partials_dir=checkpoint_partials_dir,
-                            resume=resume)
+                            resume=resume, input_fingerprint=fingerprint)
     return lineage.write_resumable(cells, out_dir, key_col="tile_id",
                                    num_shards=num_out_shards,
                                    sort_cols=["tile_id", "iy", "ix"])

@@ -154,37 +154,190 @@ def minhash_batch(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc
     })
 
 
+def _group_pair_indices(sizes: np.ndarray, starts: np.ndarray,
+                        cap: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Positional pair indices for variable-size groups, vectorized.
+
+    Groups with ``2 <= size <= cap`` emit all C(size, 2) pairs (one
+    ``triu_indices`` expansion per DISTINCT size — at most ``cap-1``
+    numpy calls per bucket, never per group). Groups larger than ``cap``
+    collapse to a STAR around their first member (rep, member_i): O(size)
+    pairs that still connect every member to the representative — exactly
+    what transitive dedup clustering needs — instead of the unbounded
+    C(size, 2) explosion a boilerplate-heavy corpus would trigger.
+
+    Returns (ia, ib, n_collapsed_groups); ia/ib index into the
+    group-sorted member arrays.
+    """
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    small = (sizes >= 2) & (sizes <= cap)
+    for s in np.unique(sizes[small]):
+        sel = starts[sizes == s]
+        iu, ju = np.triu_indices(int(s), 1)
+        ia_parts.append((sel[:, None] + iu[None, :]).ravel())
+        ib_parts.append((sel[:, None] + ju[None, :]).ravel())
+    big = sizes > cap
+    n_collapsed = int(big.sum())
+    if n_collapsed:
+        bstarts, bsizes = starts[big], sizes[big]
+        members = np.concatenate([np.arange(st + 1, st + sz)
+                                  for st, sz in zip(bstarts, bsizes)])
+        ia_parts.append(np.repeat(bstarts, bsizes - 1))
+        ib_parts.append(members)
+    if not ia_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, 0
+    return (np.concatenate(ia_parts), np.concatenate(ib_parts), n_collapsed)
+
+
+def _dedup_pairs_arrays(id_a: np.ndarray, id_b: np.ndarray):
+    """Vectorized distinct over (id_a, id_b) pair arrays."""
+    if len(id_a) == 0:
+        return id_a, id_b
+    order = np.lexsort((id_b, id_a))
+    a, b = id_a[order], id_b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):
+    """Global distinct on (id_a, id_b): ONE bounded hash-bucket shuffle
+    with a vectorized np.unique per bucket (not per pair-key)."""
+
+    def add_pb(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"]).astype(np.uint64)
+        bb = np.asarray(b["id_b"]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(a ^ splitmix64(bb))
+        return b.append_column(
+            "_pb", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = _dedup_pairs_arrays(df["id_a"].to_numpy(), df["id_b"].to_numpy())
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    return (pairs_ds.map_batches(add_pb, batch_format="pyarrow")
+            .groupby("_pb").map_groups(uniq, batch_format="pandas"))
+
+
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            num_perm: int = 128, shingle_k: int = 5,
-                           num_bands: int = 32):
+                           num_bands: int = 32, num_buckets: int = 64,
+                           max_bucket_size: int = 64):
     """documents -> candidate near-duplicate pairs (id_a < id_b).
 
-    shingle->minhash->band per batch (map-side), then ONE shuffle on
-    (band, band_hash); pairs are emitted inside each bucket group.
+    shingle->minhash->band per batch (map-side), then ONE bounded shuffle:
+    each (band, band_hash) group is keyed to ``hash % num_buckets`` so the
+    exchange groups by BUCKET and pair emission runs once per bucket,
+    vectorized across all its LSH groups (`_group_pair_indices`) — never a
+    Python call per group. Buckets larger than ``max_bucket_size`` collapse
+    to a star around a representative (bounded output on duplicate-heavy
+    corpora); collapses are counted and logged per task. A second bounded
+    shuffle makes the pairs globally distinct.
     """
+    import logging
 
     def to_bands(b: pa.Table) -> pa.Table:
-        return minhash_batch(b, text_col=text_col, id_col=id_col,
-                             num_perm=num_perm, shingle_k=shingle_k,
-                             num_bands=num_bands)
+        t = minhash_batch(b, text_col=text_col, id_col=id_col,
+                          num_perm=num_perm, shingle_k=shingle_k,
+                          num_bands=num_bands)
+        # one 64-bit group key for (band, band_hash) + its bounded bucket
+        band = np.asarray(t["band"]).astype(np.uint64)
+        bh = np.asarray(t["band_hash"]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            gkey = splitmix64(bh + band * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({
+            id_col: t[id_col],
+            "_gkey": pa.array(gkey.astype(np.int64)),
+            "_bucket": pa.array((gkey % np.uint64(num_buckets)).astype(np.int64)),
+        })
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        gkey = df["_gkey"].to_numpy()
+        order = np.lexsort((ids, gkey))
+        ids_s, g_s = ids[order], gkey[order]
+        # belt: a doc appears once per band, but drop dup (gkey, id) anyway
+        if len(ids_s):
+            first = np.empty(len(ids_s), dtype=bool)
+            first[0] = True
+            first[1:] = (g_s[1:] != g_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+            ids_s, g_s = ids_s[first], g_s[first]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]]) if len(g_s) \
+            else np.empty(0, dtype=np.int64)
+        sizes = np.diff(np.r_[starts, len(g_s)])
+        ia, ib, n_collapsed = _group_pair_indices(sizes, starts, max_bucket_size)
+        if n_collapsed:
+            logging.getLogger(__name__).warning(
+                "minhash-LSH: collapsed %d buckets larger than %d to star pairs",
+                n_collapsed, max_bucket_size)
+        a, b = _dedup_pairs_arrays(ids_s[ia], ids_s[ib])
+        return pd.DataFrame({"id_a": a, "id_b": b})
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(emit_bucket, batch_format="pandas")
     )
-    # distinct pairs (a pair can surface from many bands)
-    def drop_dup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    # distinct pairs (a pair can surface from many bands -> many buckets)
+    return _distinct_pairs(pairs, num_buckets=num_buckets)
 
-    return pairs.groupby("id_a").map_groups(drop_dup_pairs, batch_format="pandas")
+
+def jaccard_verify_distributed(pairs_ds, docs_ds, *, id_col: str = "doc_id",
+                               text_col: str = "text", shingle_k: int = 5,
+                               threshold: float = 0.8, num_buckets: int = 32):
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    Texts are attached through two bucketed hash joins (pairs x docs on
+    ``id_a``, then on ``id_b``) — each side shuffles once, nothing is
+    collected on the driver — then per-batch shingle-set Jaccard. Returns
+    (id_a, id_b, jaccard) rows with ``jaccard >= threshold``.
+    """
+    from ..aggregate.relational import hash_join
+
+    def rename(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": b[id_col],
+                             f"text_{side}": b[text_col]})
+        return f
+
+    docs_a = docs_ds.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(rename("b"), batch_format="pyarrow")
+    joined = hash_join(pairs_ds, docs_a, "id_a", num_buckets=num_buckets)
+    joined = hash_join(joined, docs_b, "id_b", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ta = [t or "" for t in df["text_a"]]
+        tb = [t or "" for t in df["text_b"]]
+        sa = _char_shingle_hashes(ta, shingle_k)
+        sb = _char_shingle_hashes(tb, shingle_k)
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(sa, sb)):
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac[i] = inter / union if union else 1.0
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[jac >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def minhash_near_dup_verified(docs_ds, *, text_col: str = "text",
+                              id_col: str = "doc_id", num_perm: int = 128,
+                              shingle_k: int = 5, num_bands: int = 32,
+                              threshold: float = 0.8):
+    """End-to-end near-dup detection: MinHash-LSH candidates -> exact
+    n-gram Jaccard verification, all distributed."""
+    pairs = minhash_lsh_candidates(docs_ds, text_col=text_col, id_col=id_col,
+                                   num_perm=num_perm, shingle_k=shingle_k,
+                                   num_bands=num_bands)
+    return jaccard_verify_distributed(pairs, docs_ds, id_col=id_col,
+                                      text_col=text_col, shingle_k=shingle_k,
+                                      threshold=threshold)
 
 
 def jaccard_verify_pairs(pairs_df: pd.DataFrame, texts_by_id: dict,
@@ -217,19 +370,31 @@ def jaccard_verify_pairs(pairs_df: pd.DataFrame, texts_by_id: dict,
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text",
                   shingle_k: int = 4) -> pa.Table:
-    """Append a 64-bit simhash fingerprint column (``simhash``) per doc."""
-    texts = batch[text_col].to_pylist()
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        hs = _char_shingle_hashes([t or ""], shingle_k)[0]
-        if len(hs) == 0:
-            continue
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 - len(hs)   # +1 / -1 vote per shingle
-        fp = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        fps[i] = fp
+    """Append a 64-bit simhash fingerprint column (``simhash``) per doc.
+
+    Vectorized ACROSS docs: all shingle hashes concatenate into one array
+    and each of the 64 bit-votes is a single ``np.add.reduceat`` over the
+    doc boundaries — no per-doc bit matrix.
+    """
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    n = len(texts)
+    shingles = _char_shingle_hashes(texts, shingle_k)
+    lengths = np.array([len(s) for s in shingles], dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lengths[:-1], out=starts[1:])
+    h = (np.concatenate(shingles) if shingles else np.empty(0, dtype=np.uint64))
+    fps = np.zeros(n, dtype=np.uint64)
+    nonempty = lengths > 0
+    if h.size and nonempty.any():
+        ne_starts = starts[nonempty]
+        ne_lengths = lengths[nonempty]
+        fp_ne = np.zeros(ne_starts.shape[0], dtype=np.uint64)
+        for b in range(64):
+            ones = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(ones, ne_starts) * 2 - ne_lengths
+            fp_ne |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        fps[nonempty] = fp_ne
     return batch.append_column("simhash", pa.array(fps.astype(np.int64)))
 
 
@@ -264,24 +429,51 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
             "chunk_val": pa.array(chunk_val.astype(np.int64)),
         })
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=[id_col])
+    num_buckets = 64
+    max_bucket_size = 128
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        cn = np.asarray(b["chunk_no"]).astype(np.uint64)
+        cv = np.asarray(b["chunk_val"]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            gkey = splitmix64(cv + cn * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({
+            id_col: b[id_col],
+            "simhash": b["simhash"],
+            "_gkey": pa.array(gkey.astype(np.int64)),
+            "_bucket": pa.array((gkey % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized across all (chunk_no, chunk_val) groups in the
+        bucket; groups beyond ``max_bucket_size`` collapse to star
+        candidates around a representative (recall on giant buckets is
+        traded for bounded output — counted in the task log)."""
+        import logging
+
         ids = df[id_col].to_numpy()
         sh = df["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}, dtype=np.int64)
-        a, b = np.triu_indices(len(ids), 1)
-        hd = hamming_distance64(sh[a], sh[b])
+        gkey = df["_gkey"].to_numpy()
+        order = np.lexsort((ids, gkey))
+        ids_s, sh_s, g_s = ids[order], sh[order], gkey[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]]) if len(g_s) \
+            else np.empty(0, dtype=np.int64)
+        sizes = np.diff(np.r_[starts, len(g_s)])
+        ia, ib, n_collapsed = _group_pair_indices(sizes, starts, max_bucket_size)
+        if n_collapsed:
+            logging.getLogger(__name__).warning(
+                "simhash: collapsed %d chunk buckets larger than %d",
+                n_collapsed, max_bucket_size)
+        hd = hamming_distance64(sh_s[ia], sh_s[ib])
         m = hd <= max_hamming
-        ia, ib = ids[a[m]], ids[b[m]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": hd[m]})
+        a, b = _dedup_pairs_arrays(ids_s[ia[m]], ids_s[ib[m]])
+        return pd.DataFrame({"id_a": a, "id_b": b})
 
     pairs = (
         ds.map_batches(fp, batch_format="pyarrow")
         .map_batches(explode_chunks, batch_format="pyarrow")
-        .groupby(["chunk_no", "chunk_val"])
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(emit_bucket, batch_format="pandas")
     )
-    return pairs.groupby("id_a").map_groups(
-        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas")
+    return _distinct_pairs(pairs, num_buckets=num_buckets)

@@ -6,13 +6,10 @@ solves per point-chunk, geoloc_raster.py:90-194): here the per-worker state
 is the *site index*, built ONCE per actor in ``__init__`` from a
 ``ray.put`` broadcast — never per batch.
 
-Two query paths:
-
-- brute force: unit-vector matmul (N x 3) @ (3 x S) + ``argpartition``
-  top-k — exact, vectorized, right for site tables up to ~10^5;
-- grid-bucketed: sites bucketed by coarse S2-style cell; a query scans its
-  cell's bucket and neighbor rings until k found (the scale path for huge
-  site tables; same exact results because the ring radius bounds distance).
+Query path: brute force — unit-vector matmul over SITE CHUNKS with a
+running top-k merge (exact, memory-bounded, right for site tables up to
+~10^5; beyond that, shard the site table and union the per-shard top-k,
+or pre-filter sites by coarse cell before the matmul).
 
 Ordering: by descending dot product (monotone with ascending great-circle
 distance); ties break deterministically by ascending ``site_id``
@@ -77,6 +74,8 @@ class KnnIndex:
         n = len(p)
         s = self.xyz.shape[0]
         k = min(k, s)
+        if s == 0 or k == 0:
+            return (np.empty((n, 0), dtype=np.int64), np.empty((n, 0)))
         best_idx = None
         best_dot = None
         for c0 in range(0, s, site_chunk):

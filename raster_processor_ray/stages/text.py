@@ -1,17 +1,24 @@
 """Text-analysis stages for the documents table: language id, quality
 scoring, token counting, document fingerprinting.
 
-Stateful pieces (compiled regexes, stopword tables, n-gram profiles) live
-in actor ``__init__``; per-batch work is pandas/numpy vectorized.
+Every stage is vectorized with Arrow C++ kernels (RE2 regex counts,
+list-flatten + ``is_in`` token membership, cumulative-sum segment
+reductions) — no per-row Python in any hot path. Stateful pieces
+(stopword value-sets, precompiled patterns) are built once per actor in
+``__init__``.
+
+Tokenization parity note: Python ``re`` ``\\w`` (unicode) is expressed in
+RE2 as ``[\\p{L}\\p{N}_]``; the golden tests in
+tests/test_docs_stages.py pin the vectorized outputs against row-loop
+reference implementations on the real testdata corpus.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..geo.hashing import fnv1a_64
 
@@ -25,72 +32,125 @@ _LANG_PROFILES = {
     "ru": {"и", "в", "не", "на", "что", "с", "это", "как", "по", "но"},
 }
 
+# RE2 equivalents of Python-re unicode classes (see module docstring)
+_WORD_RE = r"[\p{L}\p{N}_']+"        # Python [\w']+ token
+_WORD_CHAR_RE = r"[\p{L}\p{N}_']"
+_PUNCT_RE = r"[^\p{L}\p{N}_\s]"      # Python [^\w\s]
+_UPPER_RE = r"\p{Lu}"
+_CJK_RE = r"[\x{4E00}-\x{9FFF}]"
+_ARABIC_RE = r"[\x{0600}-\x{06FF}]"
+
+
+def _as_string_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def _segment_sums(flags: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-list sums of a flat flag array given ListArray offsets
+    (handles zero-length segments, unlike reduceat)."""
+    csum = np.concatenate([[0], np.cumsum(flags, dtype=np.int64)])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
+
+def _token_lists(text: pa.Array):
+    """(flat lowercased tokens, list offsets, n_tokens per doc) — the
+    shared tokenize step: ONE RE2 split for all docs, membership tests
+    run on the flat child array."""
+    toks = pc.split_pattern_regex(text, r"[^\p{L}\p{N}_']+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.utf8_lower(toks.flatten())
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens = _segment_sums(nonempty.astype(np.int64), offsets)
+    return flat, offsets, nonempty, n_tokens
+
+
+def _stopword_counts(flat: pa.Array, offsets: np.ndarray,
+                     profiles: dict[str, pa.Array]) -> dict[str, np.ndarray]:
+    """Per-doc stopword-hit counts per language via ``is_in`` on the flat
+    token array (vectorized membership, one pass per language)."""
+    out = {}
+    for lang, value_set in profiles.items():
+        hits = pc.is_in(flat, value_set=value_set).to_numpy(zero_copy_only=False)
+        out[lang] = _segment_sums(hits.astype(np.int64), offsets)
+    return out
+
 
 class LangId:
     """Stopword/char-ngram language-ID heuristic (actor-pool stage).
 
-    Scores each doc against the per-language stopword profiles; CJK/Arabic
+    Scores each doc against the per-language stopword profiles
+    (vectorized ``is_in`` membership on the flat token array); CJK/Arabic
     ranges short-circuit by script. Appends ``lang_pred:string`` and
     ``lang_score:float64``.
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[\w']+", re.UNICODE)
+        self.langs = list(_LANG_PROFILES)
+        self.profiles = {k: pa.array(sorted(v), type=pa.string())
+                         for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col].fillna("")
-        preds, scores = [], []
-        for t in texts:
-            # script short-circuit
-            cjk = sum(1 for c in t[:200] if "一" <= c <= "鿿")
-            arab = sum(1 for c in t[:200] if "؀" <= c <= "ۿ")
-            if cjk > 5:
-                preds.append("zh"); scores.append(1.0); continue
-            if arab > 5:
-                preds.append("ar"); scores.append(1.0); continue
-            words = [w.lower() for w in self.word_re.findall(t)]
-            if not words:
-                preds.append("und"); scores.append(0.0); continue
-            best, best_s = "und", 0.0
-            for lang, prof in _LANG_PROFILES.items():
-                s = sum(1 for w in words if w in prof) / len(words)
-                if s > best_s:
-                    best, best_s = lang, s
-            preds.append(best if best_s > 0 else "und")
-            scores.append(best_s)
+        text = pa.array(batch[self.text_col].fillna(""), type=pa.string())
+        n = len(text)
+        flat, offsets, _, n_tokens = _token_lists(text)
+        counts = _stopword_counts(flat, offsets, self.profiles)
+        score_mat = np.zeros((n, len(self.langs)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for j, lang in enumerate(self.langs):
+                score_mat[:, j] = np.where(n_tokens > 0,
+                                           counts[lang] / np.maximum(n_tokens, 1), 0.0)
+        best = score_mat.argmax(axis=1)      # first max wins (dict order)
+        best_s = score_mat[np.arange(n), best] if n else np.zeros(0)
+        preds = np.where(best_s > 0, np.asarray(self.langs)[best], "und")
+        preds = np.where(n_tokens > 0, preds, "und")
+        scores = np.where(n_tokens > 0, best_s, 0.0)
+        # script short-circuit on the first 200 chars
+        head = pc.utf8_slice_codeunits(text, 0, 200)
+        cjk = pc.count_substring_regex(head, _CJK_RE).to_numpy(zero_copy_only=False)
+        arab = pc.count_substring_regex(head, _ARABIC_RE).to_numpy(zero_copy_only=False)
+        preds = np.where(cjk > 5, "zh", preds)
+        scores = np.where(cjk > 5, 1.0, scores)
+        preds = np.where(arab > 5, "ar", preds)
+        scores = np.where(arab > 5, 1.0, scores)
         batch = batch.copy()
         batch["lang_pred"] = preds
-        batch["lang_score"] = np.asarray(scores, dtype=np.float64)
+        batch["lang_score"] = scores.astype(np.float64)
         return batch
 
 
 class QualityScore:
     """Heuristic document-quality features + score (actor-pool stage).
 
-    Appends ``n_chars, n_words, mean_word_len, punct_ratio, stop_ratio,
-    upper_ratio, quality`` — the length/punct/stopword-ratio family."""
+    Appends ``n_chars_t, n_words, mean_word_len, punct_ratio, stop_ratio,
+    upper_ratio, quality`` — the length/punct/stopword-ratio family.
+    All features are RE2 count kernels + one token-membership pass."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[\w']+", re.UNICODE)
-        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
-        self.stop = _LANG_PROFILES["en"]
+        self.stop = pa.array(sorted(_LANG_PROFILES["en"]), type=pa.string())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col].fillna("")
-        n = len(texts)
-        n_chars = np.zeros(n); n_words = np.zeros(n); mwl = np.zeros(n)
-        punct = np.zeros(n); stop = np.zeros(n); upper = np.zeros(n)
-        for i, t in enumerate(texts):
-            n_chars[i] = len(t)
-            words = self.word_re.findall(t)
-            n_words[i] = len(words)
-            mwl[i] = float(np.mean([len(w) for w in words])) if words else 0.0
-            punct[i] = len(self.punct_re.findall(t)) / max(1, len(t))
-            stop[i] = (sum(1 for w in words if w.lower() in self.stop) / len(words)
-                       if words else 0.0)
-            upper[i] = sum(1 for c in t if c.isupper()) / max(1, len(t))
+        text = pa.array(batch[self.text_col].fillna(""), type=pa.string())
+
+        def cnt(pattern: str) -> np.ndarray:
+            return pc.count_substring_regex(text, pattern).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_words = cnt(_WORD_RE)
+        word_chars = cnt(_WORD_CHAR_RE)
+        punct = cnt(_PUNCT_RE) / np.maximum(1.0, n_chars)
+        upper = cnt(_UPPER_RE) / np.maximum(1.0, n_chars)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mwl = np.where(n_words > 0, word_chars / n_words, 0.0)
+        flat, offsets, _, n_tokens = _token_lists(text)
+        stop_hits = _stopword_counts(flat, offsets, {"en": self.stop})["en"]
+        stop = np.where(n_words > 0, stop_hits / np.maximum(n_words, 1.0), 0.0)
         quality = (
             np.clip(n_words / 100.0, 0, 1) * 0.3
             + np.clip(mwl / 8.0, 0, 1) * 0.2
@@ -109,76 +169,77 @@ class QualityScore:
 
 class PageScorer:
     """Combined language-ID + quality scoring in ONE actor pass (the
-    flagship's per-page 'model inference' stage: compiled regexes +
-    per-language profiles built once per actor, applied per page).
+    flagship's per-page 'model inference' stage: stopword value-sets
+    built once per actor, applied per batch with Arrow kernels).
 
     Cost profile mirrors real training-data filters (CCNet/Gopher-style
-    heuristics, fasttext-class langid): tens of microseconds per page of
-    pure CPU — the compute-bound stage of the pipeline.
+    heuristics, fasttext-class langid): a few microseconds per page of
+    vectorized CPU.
 
     Appends ``quality:float64`` and ``lang_pred:string`` to the batch.
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[\w']+", re.UNICODE)
-        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-
-    def score_one(self, t: str) -> tuple[float, str]:
-        words = self.word_re.findall(t)
-        nw = len(words)
-        if nw == 0:
-            return 0.0, "und"
-        lower = [w.lower() for w in words]
-        best, best_s = "und", 0.0
-        for lang, prof in self.profiles.items():
-            s = sum(1 for w in lower if w in prof) / nw
-            if s > best_s:
-                best, best_s = lang, s
-        mwl = sum(len(w) for w in words) / nw
-        punct = len(self.punct_re.findall(t)) / max(1, len(t))
-        upper = sum(1 for c in t if c.isupper()) / max(1, len(t))
-        quality = (min(nw / 100.0, 1.0) * 0.3 + min(mwl / 8.0, 1.0) * 0.2
-                   + min(best_s * 5.0, 1.0) * 0.3
-                   + (1.0 - min(punct * 4.0, 1.0)) * 0.1
-                   + (1.0 - min(upper * 4.0, 1.0)) * 0.1)
-        return quality, best
+        self.langs = list(_LANG_PROFILES)
+        self.profiles = {k: pa.array(sorted(v), type=pa.string())
+                         for k, v in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        qual = np.empty(len(col), dtype=np.float64)
-        langs = []
-        for i, t in enumerate(col.to_pylist()):
-            q, l = self.score_one(t or "")
-            qual[i] = q
-            langs.append(l)
-        out = batch.append_column("quality", pa.array(qual))
-        return out.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        text = _as_string_array(batch[self.text_col])
+        n = len(text)
+
+        def cnt(pattern: str) -> np.ndarray:
+            return pc.count_substring_regex(text, pattern).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_words = cnt(_WORD_RE)
+        word_chars = cnt(_WORD_CHAR_RE)
+        punct = cnt(_PUNCT_RE) / np.maximum(1.0, n_chars)
+        upper = cnt(_UPPER_RE) / np.maximum(1.0, n_chars)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mwl = np.where(n_words > 0, word_chars / n_words, 0.0)
+        flat, offsets, _, n_tokens = _token_lists(text)
+        counts = _stopword_counts(flat, offsets, self.profiles)
+        score_mat = np.zeros((n, len(self.langs)))
+        for j, lang in enumerate(self.langs):
+            score_mat[:, j] = np.where(n_tokens > 0,
+                                       counts[lang] / np.maximum(n_tokens, 1), 0.0)
+        best = score_mat.argmax(axis=1)
+        best_s = score_mat[np.arange(n), best] if n else np.zeros(0)
+        preds = np.where(best_s > 0, np.asarray(self.langs)[best], "und")
+        preds = np.where(n_words > 0, preds, "und")
+        quality = np.where(
+            n_words > 0,
+            np.clip(n_words / 100.0, 0, 1) * 0.3
+            + np.clip(mwl / 8.0, 0, 1) * 0.2
+            + np.clip(best_s * 5.0, 0, 1) * 0.3
+            + (1.0 - np.clip(punct * 4.0, 0, 1)) * 0.1
+            + (1.0 - np.clip(upper * 4.0, 0, 1)) * 0.1,
+            0.0)
+        out = batch.append_column("quality", pa.array(quality))
+        return out.append_column("lang_pred", pa.array(preds.astype(object),
+                                                       type=pa.string()))
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace + BPE-ish token counts, vectorized via pyarrow compute.
+    """Whitespace + BPE-ish token counts — pure RE2 count kernels.
 
-    ``n_ws_tokens``: whitespace-split count (SQL-parity definition:
-    count of runs of non-space chars). ``n_bpe_tokens``: rough BPE proxy =
-    word count + ceil(chars/4) penalty for long words, via regex findall.
+    ``n_ws_tokens``: whitespace-split count = count of maximal runs of
+    non-whitespace (SQL-parity definition, identical to
+    ``len(s.split())``). ``n_bpe_tokens``: rough BPE proxy — each word
+    token of length L costs ``ceil(L/4)`` and each punctuation char
+    costs 1. Greedy non-overlapping RE2 matching of ``\\w{1,4}`` chunks
+    a word into exactly ``ceil(L/4)`` pieces, so the whole count is ONE
+    regex-count kernel.
     """
-    import pyarrow.compute as pc
-
-    t = pc.fill_null(batch[text_col], "")
-    # count whitespace-separated runs: split on \s+ and count non-empty
-    parts = pc.split_pattern_regex(t, r"\s+")
-    counts = pc.list_value_length(parts)
-    # empty-string artifacts from leading/trailing whitespace
-    texts = t.to_pylist()
-    ws = np.asarray([len(s.split()) for s in texts], dtype=np.int64)
-    bpe_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
-    bpe = np.asarray(
-        [sum(1 + (len(tok) - 1) // 4 for tok in bpe_re.findall(s)) for s in texts],
-        dtype=np.int64)
+    t = _as_string_array(batch[text_col])
+    ws = pc.count_substring_regex(t, r"[^\s\p{Z}]+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bpe = pc.count_substring_regex(
+        t, r"[\p{L}\p{N}_]{1,4}|[^\p{L}\p{N}_\s]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
     out = batch.append_column("n_ws_tokens", pa.array(ws))
     return out.append_column("n_bpe_tokens", pa.array(bpe))
 

@@ -50,6 +50,80 @@ def _shard_dir(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard={shard:05d}")
 
 
+# ---------------------------------------------------------------------------
+# run-level manifest: completeness + staleness
+# ---------------------------------------------------------------------------
+# A shard-level manifest proves that ONE shard finished; it cannot prove
+# the RUN finished (an absent shard dir is indistinguishable from an empty
+# shard), nor that the shards belong to the current input. The run-level
+# manifest records (num_shards, input fingerprint, complete flag):
+# resume logic may skip the write phase only when `is_complete` holds.
+
+def _run_manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_RUN.json")
+
+
+def read_run_manifest(out_dir: str) -> dict | None:
+    p = _run_manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_run_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _run_manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _run_manifest_path(out_dir))
+
+
+def input_fingerprint_from_paths(paths) -> str:
+    """Cheap input-identity fingerprint: sorted (path, size, mtime_ns)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    items = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for fn in sorted(files):
+                    fp = os.path.join(root, fn)
+                    st = os.stat(fp)
+                    items.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            items.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            items.append(f"{p}:absent")
+    return hashlib.sha256("\n".join(items).encode()).hexdigest()[:16]
+
+
+def is_complete(out_dir: str, *, input_fingerprint: str | None = None,
+                num_shards: int | None = None) -> bool:
+    """True iff a previous ``write_resumable`` ran to completion here,
+    with matching stage version, shard count and input fingerprint —
+    the ONLY condition under which a resume may skip recomputation."""
+    m = read_run_manifest(out_dir)
+    if not m or not m.get("complete") or m.get("stage_version") != STAGE_VERSION:
+        return False
+    if num_shards is not None and m.get("num_shards") != num_shards:
+        return False
+    if (input_fingerprint is not None
+            and m.get("input_fingerprint") != input_fingerprint):
+        return False
+    return True
+
+
+def _clear_output_dir(out_dir: str) -> None:
+    import shutil
+    for name in os.listdir(out_dir):
+        if name.startswith("shard="):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    p = _run_manifest_path(out_dir)
+    if os.path.exists(p):
+        os.remove(p)
+
+
 def finished_shards(out_dir: str) -> set[int]:
     """Shards whose manifest exists and matches the current stage version."""
     done = set()
@@ -67,14 +141,35 @@ def finished_shards(out_dir: str) -> set[int]:
 
 def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
                     sort_cols: list[str] | None = None,
-                    shard_col: str = "out_shard") -> pd.DataFrame:
+                    shard_col: str = "out_shard",
+                    input_fingerprint: str | None = None) -> pd.DataFrame:
     """Write ``ds`` partitioned by bounded shard with lineage manifests;
-    skips shards already finished (resume). Returns the manifest table.
+    skips shards already finished (resume) and records a RUN-level
+    manifest marking completion. Returns the manifest table.
 
     Each shard is written by the task that owns its group (atomic tmp ->
-    rename), so retries and reruns are idempotent.
+    rename), so retries and reruns are idempotent. Existing shards are
+    reused ONLY when the run manifest matches (same stage version, shard
+    count and input fingerprint); a stale or mismatched output dir is
+    cleared first — a shard from a different input must never survive.
     """
     os.makedirs(out_dir, exist_ok=True)
+    prev = read_run_manifest(out_dir)
+    if prev is not None and (
+            prev.get("stage_version") != STAGE_VERSION
+            or prev.get("num_shards") != num_shards
+            or prev.get("key_col") != key_col
+            or (input_fingerprint is not None
+                and prev.get("input_fingerprint") != input_fingerprint)):
+        _clear_output_dir(out_dir)
+        prev = None
+    if prev is None and finished_shards(out_dir):
+        # shard manifests with no run manifest: unknown provenance
+        _clear_output_dir(out_dir)
+    _write_run_manifest(out_dir, {
+        "complete": False, "num_shards": num_shards, "key_col": key_col,
+        "input_fingerprint": input_fingerprint, "stage_version": STAGE_VERSION,
+    })
     done = finished_shards(out_dir)
     ds = add_shard_column(ds, key_col, num_shards, shard_col)
     if done:
@@ -118,7 +213,12 @@ def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
                               if k in ("shard", "rows", "bytes", "key_hash")}])
 
     res = ds.groupby(shard_col).map_groups(write_shard, batch_format="pandas")
-    return res.to_pandas()
+    out = res.to_pandas()
+    _write_run_manifest(out_dir, {
+        "complete": True, "num_shards": num_shards, "key_col": key_col,
+        "input_fingerprint": input_fingerprint, "stage_version": STAGE_VERSION,
+    })
+    return out
 
 
 def read_resumable(out_dir: str):
@@ -126,7 +226,9 @@ def read_resumable(out_dir: str):
     import ray.data as rd
     paths = [os.path.join(_shard_dir(out_dir, s), "data.parquet")
              for s in sorted(finished_shards(out_dir))]
-    return rd.read_parquet(paths)
+    # partitioning=None: don't hive-infer a "shard" column from the
+    # shard=NNNNN directory names — the shard is layout, not data
+    return rd.read_parquet(paths, partitioning=None)
 
 
 def manifest_summary(out_dir: str) -> pd.DataFrame:

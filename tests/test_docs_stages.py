@@ -109,7 +109,10 @@ class TestText:
         ]
         out = rd.from_items(rows).map_batches(
             text.LangId, batch_format="pandas", concurrency=1).to_pandas()
-        assert list(out.lang_pred) == ["en", "de", "fr", "zh"]
+        # block order is not guaranteed by Ray Data: compare per text
+        got = dict(zip(out.text, out.lang_pred))
+        want = dict(zip([r["text"] for r in rows], ["en", "de", "fr", "zh"]))
+        assert got == want
 
     def test_quality(self, ray_session):
         rows = [
@@ -120,6 +123,72 @@ class TestText:
         out = rd.from_items(rows).map_batches(
             text.QualityScore, batch_format="pandas", concurrency=1).to_pandas()
         assert out.quality.iloc[0] > out.quality.iloc[1]
+
+    def test_langid_vectorized_vs_row_loop(self, docs):
+        """Golden: Arrow-kernel LangId == the per-row Python reference on
+        the real corpus (tokenization + scoring parity)."""
+        import re
+
+        word_re = re.compile(r"[\w']+", re.UNICODE)
+        profiles = text._LANG_PROFILES
+        df = docs.slice(0, 200).to_pandas()
+        out = text.LangId()(df.copy())
+        for t, pred, score in zip(df.text, out.lang_pred, out.lang_score):
+            t = t or ""
+            cjk = sum(1 for c in t[:200] if "一" <= c <= "鿿")
+            if cjk > 5:
+                want_pred, want_score = "zh", 1.0
+            else:
+                words = [w.lower() for w in word_re.findall(t)]
+                if not words:
+                    want_pred, want_score = "und", 0.0
+                else:
+                    want_pred, want_score = "und", 0.0
+                    for lang, prof in profiles.items():
+                        s = sum(1 for w in words if w in prof) / len(words)
+                        if s > want_score:
+                            want_pred, want_score = lang, s
+                    if want_score == 0:
+                        want_pred = "und"
+            assert pred == want_pred, (t[:60], pred, want_pred)
+            np.testing.assert_allclose(score, want_score, atol=1e-12)
+
+    def test_quality_vectorized_vs_row_loop(self, docs):
+        """Golden: Arrow-kernel QualityScore features == per-row Python."""
+        import re
+
+        word_re = re.compile(r"[\w']+", re.UNICODE)
+        punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+        stop = text._LANG_PROFILES["en"]
+        df = docs.slice(0, 200).to_pandas()
+        out = text.QualityScore()(df.copy())
+        for i, t in enumerate(df.text):
+            t = t or ""
+            words = word_re.findall(t)
+            np.testing.assert_allclose(out.n_words.iloc[i], len(words))
+            np.testing.assert_allclose(out.n_chars_t.iloc[i], len(t))
+            mwl = float(np.mean([len(w) for w in words])) if words else 0.0
+            np.testing.assert_allclose(out.mean_word_len.iloc[i], mwl, atol=1e-12)
+            np.testing.assert_allclose(
+                out.punct_ratio.iloc[i],
+                len(punct_re.findall(t)) / max(1, len(t)), atol=1e-12)
+            want_stop = (sum(1 for w in words if w.lower() in stop) / len(words)
+                         if words else 0.0)
+            np.testing.assert_allclose(out.stop_ratio.iloc[i], want_stop, atol=1e-12)
+            np.testing.assert_allclose(
+                out.upper_ratio.iloc[i],
+                sum(1 for c in t if c.isupper()) / max(1, len(t)), atol=1e-12)
+
+    def test_bpe_token_count_vs_row_loop(self, docs):
+        """Golden: one-kernel BPE proxy == the per-token ceil(L/4) sum."""
+        import re
+
+        bpe_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        tbl = text.token_count_batch(docs.slice(0, 200))
+        texts = docs.slice(0, 200)["text"].to_pylist()
+        want = np.array([sum(1 + (len(tok) - 1) // 4 for tok in bpe_re.findall(s or ""))
+                         for s in texts], dtype=np.int64)
+        np.testing.assert_array_equal(np.asarray(tbl["n_bpe_tokens"]), want)
 
     def test_fingerprint_deterministic(self, docs):
         a = text.fingerprint_batch(docs.slice(0, 50))
