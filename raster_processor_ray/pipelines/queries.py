@@ -686,6 +686,82 @@ def q_rasterize_samples(sf_dir: str):
     return rasterize(ds, grid)
 
 
+def q_geoloc_refined(sf_dir: str):
+    """The height-constrained geolocation FEEDBACK DAG (reference default,
+    l2pixc_to_raster.py:112-251), mode='none' value path, floor cells for
+    SQL parity: coarse 4-deg rasterize (exact per-cell mean of ints) ->
+    broadcast the coarse raster back onto every point (J3/T3) ->
+    fine 1-deg re-aggregate of the improved value."""
+    ds = _docs_with_geo(sf_dir)
+
+    def add_ccell(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["lat"])
+        lon = np.asarray(b["lon"])
+        return b.append_column("ccell", pa.array(floor_cell(lat, lon, 4.0)))
+
+    ds = ds.map_batches(add_ccell, batch_format="pyarrow")
+    coarse = hash_aggregate(ds, "ccell", {
+        "_sum": ("n_chars", "sum"),
+        "_cnt": ("n_chars", "count"),
+    }).to_pandas()
+    # exact value: float64 division of exactly-summed ints (bit-identical
+    # to DuckDB's sum(x)::DOUBLE / count(x))
+    coarse["cell_value"] = coarse["_sum"].astype(np.float64) / coarse["_cnt"]
+    fed = broadcast_lookup(ds, coarse[["ccell", "cell_value"]], "ccell",
+                           ["cell_value"])
+    out = hash_aggregate(fed, "cell", {
+        "n": (None, "count"),
+        "mean_improved": ("cell_value", "mean"),
+    })
+    return _round_cols(out, {"mean_improved": 6})
+
+
+CCELL_SQL = floor_cell_sql(SQL_LAT, SQL_LON, 4.0)
+SQL_GEOLOC_REFINED = f"""
+WITH pts AS (
+  SELECT {CELL_SQL} AS cell, {CCELL_SQL} AS ccell, n_chars FROM documents
+), coarse AS (
+  SELECT ccell, CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS cell_value
+  FROM pts GROUP BY 1
+)
+SELECT p.cell AS cell, count(*) AS n,
+       round(avg(c.cell_value), 6) AS mean_improved
+FROM pts p JOIN coarse c USING (ccell)
+GROUP BY 1
+"""
+
+
+def q_geoloc_refined_full(sf_dir: str):
+    """Full mode='lowres_raster' two-phase DAG over the samples table:
+    coarse rasterize -> feedback join -> Taylor height-constrained
+    position shift (nadir track attached by nearest as-of join on ts) ->
+    full-res rasterize. NumPy-oracle golden test in
+    tests/test_geoloc.py (position refinement is not SQL-expressible)."""
+    from ..geo.cells import GridSpec
+    from ..pipelines.geoloc import (geoloc_refined_rasterize,
+                                    synth_nadir_track)
+    from ..sources.samples import samples_dataset
+
+    fine = GridSpec(x_min=-6, y_min=-6, x_max=6, y_max=6, res=0.1, tile_size=64)
+    pts = samples_dataset(20_000).map_batches(
+        lambda b: b.select(["lat", "lon", "value", "ts"]),
+        batch_format="pyarrow")
+    track = synth_nadir_track(512)
+
+    def norm_ts(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["ts"].to_pandas().fillna(1.0e9), dtype=np.float64)
+        val = np.asarray(b["value"].to_pandas().fillna(0.0), dtype=np.float64)
+        return pa.table({
+            "lat": b["lat"], "lon": b["lon"],
+            "value": pa.array(val),
+            "ts": pa.array((ts - 1.0e9) * (512.0 / 3600.0)),
+        })
+
+    return geoloc_refined_rasterize(
+        pts.map_batches(norm_ts, batch_format="pyarrow"), fine,
+        mode="lowres_raster", scale_factor=4, nadir_track=track)
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-duplicate candidate pairs over documents."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -764,6 +840,8 @@ def queries() -> dict:
         "subsample_docs": q_subsample_docs,
         "embed_near_dup": q_embed_near_dup,
         "rasterize_samples": q_rasterize_samples,
+        "geoloc_refined": q_geoloc_refined,
+        "geoloc_refined_full": q_geoloc_refined_full,
         "minhash_pairs": q_minhash_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "langid": q_langid,
@@ -798,4 +876,5 @@ def oracle_sql() -> dict:
         "ann_top5": SQL_ANN_TOP5,
         "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
+        "geoloc_refined": SQL_GEOLOC_REFINED,
     }
