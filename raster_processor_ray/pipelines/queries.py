@@ -686,6 +686,92 @@ def q_rasterize_samples(sf_dir: str):
     return rasterize(ds, grid)
 
 
+def q_region_map(sf_dir: str):
+    """Region-map writer semantics (make_raster_region_maps.py:182-223):
+    per-cell MODE of each region-label family, ties -> smallest label,
+    unlabeled (-1) points excluded, cells with no labels in a family get
+    the 999999 fill."""
+    from ..pipelines.region_map import region_map_cells
+
+    ds = _docs_with_geo(sf_dir)
+
+    def add_regions(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        b = b.append_column("river", pa.array(ids % 7 - 1))
+        b = b.append_column("lake", pa.array(ids % 5 - 1))
+        return b
+
+    ds = ds.map_batches(add_regions, batch_format="pyarrow")
+    return region_map_cells(ds, ["river", "lake"], cell_col="cell")
+
+
+SQL_REGION_MAP = f"""
+WITH pts AS (
+  SELECT {CELL_SQL} AS cell, doc_id % 7 - 1 AS river, doc_id % 5 - 1 AS lake
+  FROM documents
+), fam AS (
+  SELECT cell, 0 AS fam, river AS label FROM pts WHERE river >= 0
+  UNION ALL
+  SELECT cell, 1 AS fam, lake AS label FROM pts WHERE lake >= 0
+), cnt AS (
+  SELECT cell, fam, label, count(*) AS c FROM fam GROUP BY 1, 2, 3
+), top AS (
+  SELECT cell, fam, label,
+         row_number() OVER (PARTITION BY cell, fam
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM cnt
+)
+SELECT cell,
+       coalesce(max(CASE WHEN fam = 0 AND rn = 1 THEN label END), 999999)
+         AS river_mode,
+       coalesce(max(CASE WHEN fam = 1 AND rn = 1 THEN label END), 999999)
+         AS lake_mode
+FROM top GROUP BY 1
+"""
+
+
+def q_utm_raster(sf_dir: str):
+    """UTM end-to-end: scene zone/band selection, Krueger projection,
+    projected-grid binning, full rasterize (projected res^2 areas).
+    Golden NumPy-oracle tests in tests/test_utm_gaps_regions.py."""
+    from ..pipelines.utm_raster import rasterize_utm
+    from ..sources.samples import samples_dataset
+
+    pts = samples_dataset(20_000)
+    cells, _, _, _ = rasterize_utm(pts, res_m=20_000.0)
+    return cells
+
+
+def q_dense_tiles(sf_dir: str):
+    """Dense tile materialization at write: sparse finalized cells ->
+    one row per tile with fixed-size dense layers + NO_PIXELS fills
+    (products.py:1109-1247 semantics; golden tests in
+    tests/test_densify.py)."""
+    from ..geo.cells import GridSpec
+    from ..state.densify import densify_tiles
+
+    grid = GridSpec(x_min=-6, y_min=-6, x_max=6, y_max=6, res=0.1, tile_size=64)
+    cells = q_rasterize_samples(sf_dir)
+    return densify_tiles(cells, grid)
+
+
+def q_gap_flags(sf_dir: str):
+    """Data-gap + inner-swath flags burned into the raster
+    (raster_proc.py:741-1023 composition; golden tests in
+    tests/test_utm_gaps_regions.py)."""
+    from ..stages.gaps import flag_gap_cells
+    from ..geo.cells import GridSpec
+
+    grid = GridSpec(x_min=-6, y_min=-6, x_max=6, y_max=6, res=0.1, tile_size=64)
+    cells = q_rasterize_samples(sf_dir)
+    t = np.arange(60, dtype=np.float64)
+    ts = np.where(t < 30, t, t + 400.0)
+    lon = t * 0.2 - 6.0
+    lat = np.full_like(lon, 1.0)
+    return flag_gap_cells(cells, grid, lat, lon, ts, gap_thresh=100.0,
+                          cross_track_m=120_000.0, inner_swath_m=15_000.0)
+
+
 def q_geoloc_refined(sf_dir: str):
     """The height-constrained geolocation FEEDBACK DAG (reference default,
     l2pixc_to_raster.py:112-251), mode='none' value path, floor cells for
@@ -842,6 +928,10 @@ def queries() -> dict:
         "rasterize_samples": q_rasterize_samples,
         "geoloc_refined": q_geoloc_refined,
         "geoloc_refined_full": q_geoloc_refined_full,
+        "region_map": q_region_map,
+        "utm_raster": q_utm_raster,
+        "dense_tiles": q_dense_tiles,
+        "gap_flags": q_gap_flags,
         "minhash_pairs": q_minhash_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "langid": q_langid,
@@ -877,4 +967,5 @@ def oracle_sql() -> dict:
         "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
         "geoloc_refined": SQL_GEOLOC_REFINED,
+        "region_map": SQL_REGION_MAP,
     }
