@@ -133,7 +133,9 @@ def broadcast_lookup(ds, lookup: pd.DataFrame, on: str, cols: list[str]):
 
 
 def hash_join(left, right, on: str | list[str], how: str = "inner", *,
-              num_buckets: int = 32, suffix: str = "_r"):
+              num_buckets: int = 32, suffix: str = "_r",
+              num_partitions: int | None = None,
+              left_distinct: list[str] | None = None):
     """Partitioned hash join for two LARGE datasets (the portable Ray Data
     pattern: add ``bucket = hash(key) % B`` to both sides, group by
     bucket, pandas-merge within each bucket — one shuffle per side, no
@@ -187,6 +189,11 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
 
     both = left.map_batches(tag(0, None), batch_format="pyarrow").union(
         right.map_batches(tag(1, rmap), batch_format="pyarrow"))
+    # Ray's sort-based groupby schedules O(blocks x partitions) tiny
+    # tasks; for small inputs arriving in many blocks the fixed task
+    # overhead dominates — let callers coalesce first
+    if num_partitions is not None:
+        both = both.repartition(num_partitions)
 
     def restore_dtypes(sub: pd.DataFrame) -> pd.DataFrame:
         # padded-null rows were dropped with the other side; bring integer
@@ -202,6 +209,11 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = restore_dtypes(df[df._side == 0][lcols])
         r = restore_dtypes(df[df._side == 1][rcols_out])
+        if left_distinct is not None:
+            # free distinct: duplicate left rows share the join key, so
+            # they are co-located in this bucket (saves a dedicated
+            # dedup shuffle upstream)
+            l = l.drop_duplicates(subset=left_distinct)
         if how == "semi":
             return l[l.set_index(on).index.isin(r.set_index(on).index)]
         if how == "anti":

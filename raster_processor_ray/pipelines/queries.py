@@ -657,13 +657,18 @@ SQL_SUBSAMPLE_DOCS = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
 
 def q_embed_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (random-hyperplane LSH ->
-    bucket groupby -> exact verify). Threshold 0.35 is calibrated to the
-    synthetic embeddings (max off-diagonal cosine ~0.51); production
-    near-dup thresholds are ~0.9."""
+    candidate id pairs -> vector re-attach join -> exact verify).
+    Threshold 0.35 is calibrated to the synthetic embeddings (max
+    off-diagonal cosine ~0.51); 8-bit bands keep candidate buckets tight
+    (the scale regime) — pairs found are the high-similarity subset LSH
+    recalls at these parameters, each exactly verified."""
     from ..stages.ann import cosine_near_dup_pairs
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_near_dup_pairs(ds, threshold=0.35, num_bits=16, num_bands=8)
+    # few read blocks: every all-to-all in the pair pipeline schedules
+    # O(blocks x partitions) tasks; embeddings are small per row
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    override_num_blocks=8)
+    return cosine_near_dup_pairs(ds, threshold=0.35, num_bits=64, num_bands=8)
 
 
 def q_rasterize_samples(sf_dir: str):

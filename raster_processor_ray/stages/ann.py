@@ -144,15 +144,26 @@ def _hyperplanes(dim: int, num_bits: int) -> np.ndarray:
 
 def cosine_near_dup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                           threshold: float = 0.9, num_bits: int = 32,
-                          num_bands: int = 4):
+                          num_bands: int = 4, max_bucket_size: int = 4096,
+                          num_buckets: int = 64):
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
-    Map-side: sign-signature of each vector against ``num_bits``
-    deterministic hyperplanes, split into ``num_bands`` band keys.
-    ONE shuffle on (band, band_key); exact cosine verification inside each
-    bucket; pairs (id_a < id_b, cosine >= threshold) deduped per id_a.
+    Candidate stage ships ONLY (id, band-group key) through the shuffle —
+    24 bytes/row/band, never the vectors (the naive form replicates every
+    vector num_bands times through the exchange). Candidate id pairs are
+    emitted per bounded bucket with the vectorized group-pair kernel
+    (giant buckets star-collapse with a logged count), made distinct,
+    then vectors are re-attached to the (small) candidate pair set by
+    two bucketed hash joins and verified with an exact per-pair cosine.
     """
+    import logging
+
+    import pandas as pd
     import ray
+
+    from ..aggregate.relational import hash_join
+    from ..geo.hashing import splitmix64
+    from .dedup import _dedup_pairs_arrays, _group_pair_indices
 
     sample = ds.limit(1).to_pandas()
     dim = len(sample[vec_col].iloc[0])
@@ -168,46 +179,78 @@ def cosine_near_dup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_
             bits = (m @ self.planes.T) > 0                    # (n, num_bits)
             ids = np.asarray(batch[id_col])
             n = len(ids)
-            out_ids, out_band, out_key = [], [], []
             weights = (1 << np.arange(bits_per_band, dtype=np.int64))
-            for band in range(num_bands):
-                seg = bits[:, band * bits_per_band:(band + 1) * bits_per_band]
-                key = (seg.astype(np.int64) * weights).sum(axis=1)
-                out_ids.append(ids)
-                out_band.append(np.full(n, band, dtype=np.int64))
-                out_key.append(key)
-            rep = np.concatenate(out_ids)
-            vecs = np.tile(m, (num_bands, 1))  # band-major, matches rep
+            gkeys = np.empty((num_bands, n), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for band in range(num_bands):
+                    seg = bits[:, band * bits_per_band:(band + 1) * bits_per_band]
+                    key = (seg.astype(np.int64) * weights).sum(axis=1)
+                    gkeys[band] = splitmix64(
+                        key.astype(np.uint64)
+                        + np.uint64(band) * np.uint64(0x9E3779B97F4A7C15))
+            g = gkeys.ravel()
             return pa.table({
-                id_col: pa.array(rep),
-                "band": pa.array(np.concatenate(out_band)),
-                "band_key": pa.array(np.concatenate(out_key)),
-                "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(vecs.ravel(), type=pa.float32()), dim),
+                id_col: pa.array(np.tile(ids, num_bands)),
+                "_gkey": pa.array(g.astype(np.int64)),
+                "_bucket": pa.array((g % np.uint64(num_buckets)).astype(np.int64)),
             })
 
-    import pandas as pd
+    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        gkey = df["_gkey"].to_numpy()
+        order = np.lexsort((ids, gkey))
+        ids_s, g_s = ids[order], gkey[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]]) if len(g_s) \
+            else np.empty(0, dtype=np.int64)
+        sizes = np.diff(np.r_[starts, len(g_s)])
+        ia, ib, n_collapsed = _group_pair_indices(sizes, starts, max_bucket_size)
+        if n_collapsed:
+            logging.getLogger(__name__).warning(
+                "embed-LSH: collapsed %d buckets larger than %d",
+                n_collapsed, max_bucket_size)
+        a, b = _dedup_pairs_arrays(ids_s[ia], ids_s[ib])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    candidates = (ds.map_batches(Signature, batch_format="pyarrow",
+                                 concurrency=2, num_cpus=0.5)
+                  .groupby("_bucket")
+                  .map_groups(emit_bucket, batch_format="pandas"))
+    # vector re-attach: each side of the docs table shuffles ONCE against
+    # the (small) candidate pairs, instead of once per band; cross-band
+    # duplicate candidates drop out inside the first join's buckets
+    # (same id_a -> same bucket), so no dedicated distinct shuffle
+    def side(tag: str):
+        def f(b: pa.Table) -> pa.Table:
+            # pack vectors to float32 bytes: a plain binary column survives
+            # every exchange (Ray's tensor-extension list columns do not
+            # reconstruct from sliced group blocks) and halves the bytes
+            m = _as_matrix(b[vec_col]).astype(np.float32)
+            packed = [row.tobytes() for row in m]
+            return pa.table({f"id_{tag}": b[id_col],
+                             f"vec_{tag}": pa.array(packed, type=pa.binary())})
+        return f
+
+    joined = hash_join(candidates, ds.map_batches(side("a"), batch_format="pyarrow"),
+                       "id_a", num_buckets=num_buckets, num_partitions=8,
+                       left_distinct=["id_a", "id_b"])
+    joined = hash_join(joined, ds.map_batches(side("b"), batch_format="pyarrow"),
+                       "id_b", num_buckets=num_buckets, num_partitions=8)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=[id_col])
-        if len(df) < 2:
+        if not len(df):
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = df[id_col].to_numpy()
-        m = np.stack(df["vec"].to_numpy()).astype(np.float64)
-        sims = m @ m.T
-        a, b = np.triu_indices(len(ids), 1)
-        keep = sims[a, b] >= threshold
-        ia, ib = ids[a[keep]], ids[b[keep]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[a, b][keep]})
+        def unpack(col) -> np.ndarray:
+            flat = np.frombuffer(b"".join(col), dtype=np.float32)
+            return flat.reshape(len(col), -1).astype(np.float64)
 
-    pairs = (ds.map_batches(Signature, batch_format="pyarrow", concurrency=2,
-                            num_cpus=0.5)
-             .groupby(["band", "band_key"])
-             .map_groups(verify, batch_format="pandas"))
-    return pairs.groupby("id_a").map_groups(
-        lambda df: df.drop_duplicates(subset=["id_a", "id_b"]),
-        batch_format="pandas")
+        ma = _normalize(unpack(df["vec_a"].to_list()))
+        mb = _normalize(unpack(df["vec_b"].to_list()))
+        cos = np.einsum("ij,ij->i", ma, mb)
+        out = df[["id_a", "id_b"]].copy()
+        out["cosine"] = cos
+        return out[cos >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding",

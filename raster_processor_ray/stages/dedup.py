@@ -203,9 +203,16 @@ def _dedup_pairs_arrays(id_a: np.ndarray, id_b: np.ndarray):
     return a[keep], b[keep]
 
 
-def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):
+def _distinct_pairs(pairs_ds, *, num_buckets: int = 64,
+                    num_partitions: int | None = None):
     """Global distinct on (id_a, id_b): ONE bounded hash-bucket shuffle
-    with a vectorized np.unique per bucket (not per pair-key)."""
+    with a vectorized np.unique per bucket (not per pair-key).
+
+    ``num_partitions``: coalesce the pair table first — Ray's sort-based
+    groupby schedules O(blocks x partitions) tasks, so a small pair set
+    spread over many blocks pays fixed task overhead, not data cost."""
+    if num_partitions is not None:
+        pairs_ds = pairs_ds.repartition(num_partitions)
 
     def add_pb(b: pa.Table) -> pa.Table:
         a = np.asarray(b["id_a"]).astype(np.uint64)
