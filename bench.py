@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "pricing_summary", "weighted_avg_price", "segment_ratio",
     "order_mode_flag", "dedup_users", "sessionize", "asof_dim",
     "hourly_windows", "token_counts", "ann_top5", "minhash_pairs",
-    "rasterize_samples",
+    "rasterize_samples", "geoloc_refined", "region_map", "dense_tiles",
 ]
 
 
@@ -110,9 +110,11 @@ def run_bench() -> dict:
     out_dir = f"/tmp/graft_bench/raster_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # no enrich_concurrency cap: setting map_batches concurrency makes the
+    # enrich stage a separate operator (no fusion with ReadParquet), which
+    # round-trips every input block through the object store
     run_flagship_full(PAGES_DIR, out_dir, num_out_shards=max(16, NUM_CPUS),
-                      grid=bench_grid, read_blocks=max(16, NUM_CPUS),
-                      enrich_concurrency=max(4, NUM_CPUS - 2))
+                      grid=bench_grid, read_blocks=max(16, NUM_CPUS))
     headline = time.perf_counter() - t0
 
     qtimes = {}

@@ -252,6 +252,11 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                       read_blocks: int | None = None, knn_sites: int = 1000,
                       knn_refine: int = 12, enrich_concurrency: int | None = None,
                       enrich_batch_size: int = 8192):
+    # NOTE on enrich_concurrency: a concurrency cap turns the enrich
+    # map_batches into its own operator — Ray will NOT fuse it with
+    # ReadParquet, so every decompressed input block round-trips the
+    # object store. Leave it None (default) unless a stage downstream
+    # genuinely starves; the streaming executor balances uncapped tasks.
     """The full spatial-join + tiling pipeline (the north-star DAG):
 
         read(pruned) -> fused enrich tasks (vectorized quality features,
@@ -294,13 +299,20 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         bitmaps, not duplicated values."""
         e = _cached_enricher(grid, poly_ref, knn_ref, knn_refine)(batch)
         p = partial_aggregate_batch(e.select(["grid_cell", "value", "ts"]), cfg)
-        zdf = (e.select(["grid_cell", "site_id"]).to_pandas()
-               .groupby(["grid_cell", "site_id"], as_index=False).size())
-        pn, zn = p.num_rows, len(zdf)
+        # zonal (cell, site) counts in pure numpy: sites are a bounded id
+        # space, so one packed-key np.unique replaces a pandas groupby
+        zcell = np.asarray(e["grid_cell"]).astype(np.int64)
+        zsite = np.asarray(e["site_id"]).astype(np.int64)
+        packed = zcell * np.int64(1 << 20) + zsite   # site_id < 2^20
+        uniq, cnt = np.unique(packed, return_counts=True)
+        zdf = {"grid_cell": uniq >> np.int64(20),
+               "site_id": uniq & np.int64((1 << 20) - 1),
+               "size": cnt.astype(np.int64)}
+        pn, zn = p.num_rows, len(uniq)
         cols: dict[str, pa.Array] = {}
         cols["grid_cell"] = pa.concat_arrays([
             pa.array(np.asarray(p["grid_cell"]), type=pa.int64()),
-            pa.array(zdf["grid_cell"].to_numpy(np.int64))])
+            pa.array(zdf["grid_cell"])])
         for name in p.column_names:
             if name == "grid_cell":
                 continue
@@ -310,14 +322,14 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
             cols[name] = pa.concat_arrays([arr, pa.nulls(zn, type=arr.type)])
         cols["site_id"] = pa.concat_arrays([
             pa.nulls(pn, type=pa.int64()),
-            pa.array(zdf["site_id"].to_numpy(np.int64))])
+            pa.array(zdf["site_id"])])
         cols["site_cnt"] = pa.concat_arrays([
             pa.nulls(pn, type=pa.int64()),
-            pa.array(zdf["size"].to_numpy(np.int64))])
+            pa.array(zdf["size"])])
         cols["_fam"] = pa.array(
             np.repeat(np.array([0, 1], dtype=np.int8), [pn, zn]))
         cells = np.concatenate([np.asarray(p["grid_cell"], dtype=np.int64),
-                                zdf["grid_cell"].to_numpy(np.int64)])
+                                zdf["grid_cell"]])
         cols["_bucket"] = pa.array(cells % num_buckets)
         return pa.table(cols)
 
