@@ -691,6 +691,48 @@ def q_rasterize_samples(sf_dir: str):
     return rasterize(ds, grid)
 
 
+def q_wse_corrections(sf_dir: str):
+    """M11 named kernel: wse = height - (geoid + solid_earth_tide +
+    load_tide + pole_tide) (raster_agg.py:149-152), driven over lineitem
+    columns standing in for the correction layers. Row-level float64
+    arithmetic -> exact parity, no rounding."""
+    from ..functions.corrections import add_wse_column
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                             "l_discount", "l_tax", "l_quantity"])
+
+    def zero(b: pa.Table) -> pa.Table:
+        return b.append_column("pole", pa.array(
+            np.zeros(b.num_rows, dtype=np.float64)))
+
+    ds = add_wse_column(ds.map_batches(zero, batch_format="pyarrow"),
+                        height_col="l_extendedprice", geoid_col="l_discount",
+                        set_col="l_tax", load_col="l_quantity",
+                        pole_col="pole")
+    return ds.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "wse"]),
+        batch_format="pyarrow")
+
+
+SQL_WSE_CORRECTIONS = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice - (l_discount + l_tax + l_quantity + 0.0) AS wse
+FROM lineitem
+"""
+
+
+def q_minhash_verified(sf_dir: str):
+    """End-to-end near-dup: MinHash-LSH candidates -> distributed exact
+    n-gram Jaccard verification (bucketed joins back to texts; nothing
+    driver-side)."""
+    from ..stages.dedup import minhash_near_dup_verified
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dup_verified(ds, num_perm=64, num_bands=16,
+                                     threshold=0.6)
+
+
 def q_region_map(sf_dir: str):
     """Region-map writer semantics (make_raster_region_maps.py:182-223):
     per-cell MODE of each region-label family, ties -> smallest label,
@@ -933,6 +975,8 @@ def queries() -> dict:
         "rasterize_samples": q_rasterize_samples,
         "geoloc_refined": q_geoloc_refined,
         "geoloc_refined_full": q_geoloc_refined_full,
+        "wse_corrections": q_wse_corrections,
+        "minhash_verified": q_minhash_verified,
         "region_map": q_region_map,
         "utm_raster": q_utm_raster,
         "dense_tiles": q_dense_tiles,
@@ -973,4 +1017,5 @@ def oracle_sql() -> dict:
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
         "geoloc_refined": SQL_GEOLOC_REFINED,
         "region_map": SQL_REGION_MAP,
+        "wse_corrections": SQL_WSE_CORRECTIONS,
     }

@@ -65,6 +65,80 @@ class TestMinHash:
         assert (1, 2) in got          # near-dup
         assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
 
+    def test_skewed_corpus_no_pair_explosion(self, ray_session):
+        """10^4 IDENTICAL docs: every LSH bucket holds all of them. The
+        star-collapse cap must bound the output near O(n), not C(n,2) =
+        5*10^7 pairs, and the query must complete quickly."""
+        import time
+
+        n = 10_000
+        rows = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["the same boilerplate paragraph " * 8] * n,
+        })
+        t0 = time.time()
+        pairs = dedup.minhash_lsh_candidates(
+            rd.from_pandas(rows).repartition(4), num_perm=32,
+            num_bands=8).to_pandas()
+        wall = time.time() - t0
+        # star pairs: <= (members-1) per (band x block-group), deduped
+        assert len(pairs) < 50 * n, len(pairs)
+        assert wall < 60, wall
+        # connectivity survives the collapse: every doc appears in >=1 pair
+        seen = set(pairs.id_a) | set(pairs.id_b)
+        assert len(seen) == n
+
+    def test_small_groups_match_bruteforce(self, ray_session):
+        """For a corpus whose LSH buckets stay under the cap, the
+        candidate pairs equal the brute-force union of per-band bucket
+        pairs (no collapse, no loss through the distinct)."""
+        texts = [f"document number {i} talks about topic {i % 7} "
+                 f"with words {'x' * (i % 5)}" for i in range(60)]
+        texts += [texts[3], texts[11]]       # exact dups -> guaranteed pairs
+        rows = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                             "text": texts})
+        got = dedup.minhash_lsh_candidates(
+            rd.from_pandas(rows).repartition(3), num_perm=32,
+            num_bands=8).to_pandas()
+        got_set = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+        # brute force: same signatures + band keys, all in one process
+        sig = dedup.minhash_signatures_batch(texts, 32, 5)
+        bh = dedup._band_hashes(sig, 8)
+        want = set()
+        for band in range(8):
+            keys = bh[:, band]
+            for key in np.unique(keys):
+                members = np.flatnonzero(keys == key)
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        want.add((int(members[i]), int(members[j])))
+        assert got_set == want
+
+    def test_minhash_verified_end_to_end(self, ray_session):
+        """minhash -> distributed Jaccard: every surviving pair really has
+        shingle-Jaccard >= threshold (exactness golden), and known exact
+        duplicates survive with jaccard == 1."""
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        rows = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [base, base, base.replace("lazy", "sleepy"),
+                     "a completely different document about rasters",
+                     "another unrelated text on data processing",
+                     base],
+        })
+        out = dedup.minhash_near_dup_verified(
+            rd.from_pandas(rows), threshold=0.8).to_pandas()
+        got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+        assert {(0, 1), (0, 5), (1, 5)} <= got
+        # exactness: recompute jaccard for every emitted pair
+        sh = dedup._char_shingle_hashes(rows.text.tolist(), 5)
+        for a, b, j in out[["id_a", "id_b", "jaccard"]].itertuples(index=False):
+            sa, sb = sh[int(a)], sh[int(b)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            want = inter / (len(sa) + len(sb) - inter)
+            np.testing.assert_allclose(j, want, rtol=1e-12)
+            assert j >= 0.8
+
     def test_jaccard_verify(self):
         pairs = pd.DataFrame({"id_a": [1, 1], "id_b": [2, 3]})
         texts = {1: "abcdefghij" * 5, 2: "abcdefghij" * 5, 3: "zzzzyyyyxxxx" * 5}
