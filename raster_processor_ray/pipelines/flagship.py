@@ -251,7 +251,8 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                       cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
                       read_blocks: int | None = None, knn_sites: int = 1000,
                       knn_refine: int = 12, enrich_concurrency: int | None = None,
-                      enrich_batch_size: int = 8192):
+                      enrich_batch_size: int | None = None,
+                      enrich_chunk_rows: int = 8192):
     # NOTE on enrich_concurrency: a concurrency cap turns the enrich
     # map_batches into its own operator — Ray will NOT fuse it with
     # ReadParquet, so every decompressed input block round-trips the
@@ -293,72 +294,86 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
     num_buckets = num_out_shards
 
     def enrich_partials(batch: pa.Table) -> pa.Table:
-        """Enrich + BOTH partial families in one pass over the stream
-        (``_fam`` 0 = rasterize partials, 1 = zonal site counts).
-        Arrow unions the two families with typed nulls — validity
-        bitmaps, not duplicated values."""
-        e = _cached_enricher(grid, poly_ref, knn_ref, knn_refine)(batch)
+        """Enrich + BOTH partial families in one pass over the stream:
+        one row per distinct cell carrying the rasterize partials PLUS
+        the cell's (site, count) zonal partial packed as two LIST
+        columns. Packing keeps the shuffle narrow — a row-union of the
+        two families would ship full-width data buffers (mostly fill)
+        for every zonal row.
+
+        Enrichment runs over SMALL internal chunks (cache-resident
+        columns for the kNN matmul) but partials are computed once over
+        the LARGE outer batch: partial-row count per batch is bounded by
+        the distinct cells it touches, so small partial batches would
+        emit ~one row per input row — many times the shuffle bytes at
+        the bench's cell density (measured)."""
+        enricher = _cached_enricher(grid, poly_ref, knn_ref, knn_refine)
+        parts = [enricher(batch.slice(off, enrich_chunk_rows))
+                 for off in range(0, batch.num_rows, enrich_chunk_rows)]
+        e = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
         p = partial_aggregate_batch(e.select(["grid_cell", "value", "ts"]), cfg)
-        # zonal (cell, site) counts in pure numpy: sites are a bounded id
-        # space, so one packed-key np.unique replaces a pandas groupby
+        # zonal (cell, site) counts in pure numpy: one packed-key
+        # np.unique; the unique keys come back sorted by (cell, site),
+        # aligned with p's np.unique-sorted cell order
         zcell = np.asarray(e["grid_cell"]).astype(np.int64)
         zsite = np.asarray(e["site_id"]).astype(np.int64)
         packed = zcell * np.int64(1 << 20) + zsite   # site_id < 2^20
         uniq, cnt = np.unique(packed, return_counts=True)
-        zdf = {"grid_cell": uniq >> np.int64(20),
-               "site_id": uniq & np.int64((1 << 20) - 1),
-               "size": cnt.astype(np.int64)}
-        pn, zn = p.num_rows, len(uniq)
-        cols: dict[str, pa.Array] = {}
-        cols["grid_cell"] = pa.concat_arrays([
-            pa.array(np.asarray(p["grid_cell"]), type=pa.int64()),
-            pa.array(zdf["grid_cell"])])
-        for name in p.column_names:
-            if name == "grid_cell":
-                continue
-            arr = p[name]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            cols[name] = pa.concat_arrays([arr, pa.nulls(zn, type=arr.type)])
-        cols["site_id"] = pa.concat_arrays([
-            pa.nulls(pn, type=pa.int64()),
-            pa.array(zdf["site_id"])])
-        cols["site_cnt"] = pa.concat_arrays([
-            pa.nulls(pn, type=pa.int64()),
-            pa.array(zdf["size"])])
-        cols["_fam"] = pa.array(
-            np.repeat(np.array([0, 1], dtype=np.int8), [pn, zn]))
-        cells = np.concatenate([np.asarray(p["grid_cell"], dtype=np.int64),
-                                zdf["grid_cell"]])
-        cols["_bucket"] = pa.array(cells % num_buckets)
-        return pa.table(cols)
+        pair_cells = (uniq >> np.int64(20))
+        p_cells = np.asarray(p["grid_cell"], dtype=np.int64)
+        offsets = np.concatenate([
+            np.searchsorted(pair_cells, p_cells, side="left"),
+            [len(pair_cells)]]).astype(np.int32)
+        out = p.append_column("site_ids", pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(uniq & np.int64((1 << 20) - 1))))
+        out = out.append_column("site_cnts", pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(cnt.astype(np.int64))))
+        return out.append_column("_bucket", pa.array(p_cells % num_buckets))
 
-    def combine_and_finalize(df: pd.DataFrame) -> pa.Table:
-        fam = df["_fam"].to_numpy()
-        r = df[fam == 0].drop(columns=["_fam", "_bucket", "site_id", "site_cnt"])
-        combined = combine_partials_df(r, cfg)
+    def combine_and_finalize(t: pa.Table) -> pa.Table:
+        raster = t.drop_columns(["_bucket", "site_ids", "site_cnts"])
+        combined = combine_partials_df(raster.to_pandas(), cfg)
         fin = finalize_cells(
             pa.Table.from_pandas(combined, preserve_index=False), grid, cfg
         ).to_pandas()
-        # the _fam==0 rows' typed nulls made these columns float64 in
-        # pandas; the zonal subset has no nulls — restore int64
-        z = df[fam == 1][["grid_cell", "site_id", "site_cnt"]].astype(
-            {"site_id": np.int64, "site_cnt": np.int64})
-        zc = z.groupby(["grid_cell", "site_id"], as_index=False)["site_cnt"].sum()
-        zc = zc.sort_values(["grid_cell", "site_cnt", "site_id"],
-                            ascending=[True, False, True], kind="mergesort")
-        top = zc.drop_duplicates(subset=["grid_cell"], keep="first").rename(
-            columns={"site_id": "mode_label", "site_cnt": "mode_count"})
+        # dominant site: flatten the packed lists, re-sum per (cell, site)
+        # (a cell spans many partial rows), argmax with tie -> smallest id
+        sids = t["site_ids"]
+        if isinstance(sids, pa.ChunkedArray):
+            sids = sids.combine_chunks()
+        scnts = t["site_cnts"]
+        if isinstance(scnts, pa.ChunkedArray):
+            scnts = scnts.combine_chunks()
+        row_cells = np.asarray(t["grid_cell"], dtype=np.int64)
+        lens = np.diff(np.asarray(sids.offsets, dtype=np.int64))
+        flat_cells = np.repeat(row_cells, lens)
+        flat_sites = np.asarray(sids.values, dtype=np.int64)
+        flat_cnts = np.asarray(scnts.values, dtype=np.int64)
+        packed = flat_cells * np.int64(1 << 20) + flat_sites
+        uniq, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=flat_cnts.astype(np.float64))
+        ucells = uniq >> np.int64(20)
+        usites = (uniq & np.int64((1 << 20) - 1))
+        # per cell argmax: sort by (cell, -count, site); uniq is already
+        # sorted by (cell, site) so a stable lexsort on -count suffices
+        order = np.lexsort((usites, -sums, ucells))
+        first = np.flatnonzero(np.r_[True, ucells[order][1:] != ucells[order][:-1]])
+        sel = order[first]
+        top = pd.DataFrame({"grid_cell": ucells[sel],
+                            "mode_label": usites[sel],
+                            "mode_count": sums[sel].astype(np.int64)})
         fin = fin.merge(top, on="grid_cell", how="left", sort=False)
         return pa.Table.from_pandas(fin, preserve_index=False)
 
     cells_final = (
         ds.map_batches(enrich_partials, batch_format="pyarrow",
-                       batch_size=enrich_batch_size,
+                       batch_size=enrich_batch_size,  # None = whole block:
+                       # fewest partial rows per shuffle (cells repeat
+                       # across batches, so bigger batches combine more)
                        **({"concurrency": enrich_concurrency}
                           if enrich_concurrency else {}))
         .groupby("_bucket")
-        .map_groups(combine_and_finalize, batch_format="pandas")
+        .map_groups(combine_and_finalize, batch_format="pyarrow")
     )
     # pin the FINALIZED cells (one row per grid cell — bounded by the grid,
     # ~1e5 at bench res and ~1e8 at production res, vs 1e12 input pages)
