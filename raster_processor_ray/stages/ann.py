@@ -255,7 +255,12 @@ def cosine_near_dup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding",
              id_col: str = "vec_id", num_centroids: int = 16, nprobe: int = 4):
-    """Approximate top-k: probe only the nprobe nearest centroid buckets."""
+    """Approximate top-k: probe only the nprobe nearest centroid buckets.
+
+    This form still SCANS all blocks and filters by bucket (right when
+    the index is built ad hoc in the same session); the scale path is
+    ``ivf_build_index`` + ``ivf_topk_indexed``, where the probe reads
+    only the probed buckets' shards from storage."""
     import ray
 
     cents = ivf_build_centroids(ds, vec_col=vec_col, num_centroids=num_centroids)
@@ -271,3 +276,76 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding"
         lambda b: b.filter(pc.is_in(b["ivf_bucket"], value_set=pa.array(wanted))),
         batch_format="pyarrow")
     return cosine_topk(filtered, q, k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_build_index(ds, out_dir: str, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", num_centroids: int = 16):
+    """Persist a BUCKET-PARTITIONED IVF layout: vectors are assigned to
+    their nearest centroid and written through the resumable layout with
+    ``num_shards == num_centroids``, so shard i on disk holds exactly
+    bucket i. A probe then READS only the probed shards — storage-level
+    pruning, not a scan-and-filter. Centroids are stored alongside.
+
+    Returns the centroid matrix.
+    """
+    import os
+
+    from ..state import lineage
+
+    cents = ivf_build_centroids(ds, vec_col=vec_col,
+                                num_centroids=num_centroids)
+    import ray
+    cref = ray.put(cents)
+    assigned = ds.map_batches(IvfAssign, fn_constructor_args=(cref, vec_col),
+                              batch_format="pyarrow", concurrency=2,
+                              num_cpus=0.5)
+
+    # pack vectors to bytes for a byte-stable parquet layout (and to halve
+    # storage vs float64 lists); unpacked on read
+    def pack(b: pa.Table) -> pa.Table:
+        m = _as_matrix(b[vec_col]).astype(np.float32)
+        return pa.table({
+            id_col: b[id_col],
+            "ivf_bucket": b["ivf_bucket"],
+            "vec_packed": pa.array([row.tobytes() for row in m],
+                                   type=pa.binary()),
+        })
+
+    lineage.write_resumable(assigned.map_batches(pack, batch_format="pyarrow"),
+                            out_dir, key_col="ivf_bucket",
+                            num_shards=num_centroids)
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray, k: int = 10, *,
+                     id_col: str = "vec_id", nprobe: int = 4):
+    """Probe a persisted IVF index: read ONLY the shards of the ``nprobe``
+    nearest buckets per query (shard == bucket in the index layout), then
+    exact cosine top-k over the loaded candidates."""
+    import os
+
+    import ray.data as rd
+
+    from ..state import lineage
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = set(np.unique(probe).tolist())
+    avail = lineage.finished_shards(index_dir)
+    paths = [os.path.join(index_dir, f"shard={s:05d}", "data.parquet")
+             for s in sorted(wanted & avail)]
+    ds = rd.read_parquet(paths, partitioning=None)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        flat = np.frombuffer(b"".join(b["vec_packed"].to_pylist()),
+                             dtype=np.float32)
+        m = flat.reshape(b.num_rows, -1).astype(np.float64)
+        return pa.table({
+            id_col: b[id_col],
+            "embedding": pa.array(list(m)),
+        })
+
+    return cosine_topk(ds.map_batches(unpack, batch_format="pyarrow"), q, k,
+                       vec_col="embedding", id_col=id_col)
