@@ -107,7 +107,10 @@ def join_proc_truth(proc_ds, truth_ds, *, key: str = "grid_cell",
                                      uncert_col in merged.columns else [])
         return merged[out_cols].dropna(subset=["error"])
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    from ..util import pin_for_shuffle
+
+    return pin_for_shuffle(both).groupby("_bucket").map_groups(
+        join_bucket, batch_format="pandas")
 
 
 def raster_metrics(proc_ds, truth_ds, *, key: str = "grid_cell",

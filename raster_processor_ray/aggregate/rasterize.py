@@ -450,8 +450,10 @@ def rasterize(ds, grid: GridSpec, cfg: AggConfig = C.DEFAULT_AGG,
         out = combine_partials_df(df.drop(columns=["_bucket"]), cfg, cell_col)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    from ..util import pin_for_shuffle
+
     combined = (
-        partials.map_batches(add_bucket, batch_format="pyarrow")
+        pin_for_shuffle(partials.map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(combine_bucket, batch_format="pandas")
     )

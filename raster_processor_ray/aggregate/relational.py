@@ -107,8 +107,9 @@ def hash_aggregate(ds, keys: list[str] | str, spec: dict, *, num_buckets: int = 
                     out[out_col] = out[how[1]] / out[how[2]].replace(0, np.nan)
         return out[keys + list(final.keys())]
 
-    return (ds.map_batches(map_partial, batch_format="pandas")
-            .groupby("_bucket")
+    from ..util import pin_for_shuffle
+    partials = pin_for_shuffle(ds.map_batches(map_partial, batch_format="pandas"))
+    return (partials.groupby("_bucket")
             .map_groups(combine, batch_format="pandas"))
 
 
@@ -194,6 +195,8 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     # overhead dominates — let callers coalesce first
     if num_partitions is not None:
         both = both.repartition(num_partitions)
+    from ..util import pin_for_shuffle
+    both = pin_for_shuffle(both)
 
     def restore_dtypes(sub: pd.DataFrame) -> pd.DataFrame:
         # padded-null rows were dropped with the other side; bring integer
@@ -249,6 +252,9 @@ def topk(ds, by: str, k: int, *, descending: bool = True, tie_col: str | None = 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return local(df.drop(columns="_one"))
 
+    from ..util import pin_for_shuffle
+
     partials = ds.map_batches(local, batch_format="pandas")
-    return (partials.map_batches(lambda df: df.assign(_one=0), batch_format="pandas")
+    return (pin_for_shuffle(partials.map_batches(
+                lambda df: df.assign(_one=0), batch_format="pandas"))
             .groupby("_one").map_groups(merge, batch_format="pandas"))

@@ -35,8 +35,10 @@ def zonal_mode(ds, cell_col: str = "grid_cell", label_col: str = "label",
         top = df.drop_duplicates(subset=[cell_col], keep="first")
         return top.rename(columns={label_col: "mode_label", "cnt": "mode_count"})
 
+    from ..util import pin_for_shuffle
+
     return (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
+        pin_for_shuffle(ds.map_batches(partial_counts, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(lambda df: argmax_per_cell(df.drop(columns=["_bucket"])),
                     batch_format="pandas")

@@ -85,7 +85,10 @@ def rasterize_pages(pages_ds, *, grid: GridSpec = GLOBAL_GEO_GRID,
         out = combine_partials_df(df.drop(columns=["_bucket"]), cfg)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    combined = (partials.map_batches(add_bucket, batch_format="pyarrow")
+    from ..util import pin_for_shuffle
+
+    combined = (pin_for_shuffle(partials.map_batches(add_bucket,
+                                                     batch_format="pyarrow"))
                 .groupby("_bucket")
                 .map_groups(combine_bucket, batch_format="pandas"))
     return combined.map_batches(
@@ -365,13 +368,17 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         fin = fin.merge(top, on="grid_cell", how="left", sort=False)
         return pa.Table.from_pandas(fin, preserve_index=False)
 
-    cells_final = (
+    from ..util import pin_for_shuffle
+
+    partials_ds = pin_for_shuffle(
         ds.map_batches(enrich_partials, batch_format="pyarrow",
                        batch_size=enrich_batch_size,  # None = whole block:
                        # fewest partial rows per shuffle (cells repeat
                        # across batches, so bigger batches combine more)
                        **({"concurrency": enrich_concurrency}
-                          if enrich_concurrency else {}))
+                          if enrich_concurrency else {})))
+    cells_final = (
+        partials_ds
         .groupby("_bucket")
         .map_groups(combine_and_finalize, batch_format="pyarrow")
     )

@@ -101,7 +101,9 @@ def coarse_cell_values(pts_ds, coarse: GridSpec, *, value_col: str = "value",
         g["cell_value"] = g["_sum"] / g["_cnt"]
         return g[["_ccell", "cell_value"]]
 
-    return (binned.map_batches(partial, batch_format="pandas")
+    from ..util import pin_for_shuffle
+
+    return (pin_for_shuffle(binned.map_batches(partial, batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(combine, batch_format="pandas")).to_pandas()
 

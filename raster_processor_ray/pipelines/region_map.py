@@ -53,7 +53,9 @@ def region_map_cells(pts_ds, label_cols: list[str], *,
         out = out.fillna(REGION_FILL).astype(np.int64).reset_index()
         return out.rename(columns={"cell": cell_col})
 
-    return (pts_ds.map_batches(partial_counts, batch_format="pandas")
+    from ..util import pin_for_shuffle
+
+    return (pin_for_shuffle(pts_ds.map_batches(partial_counts, batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(lambda df: mode_pivot(df.drop(columns=["_bucket"])),
                         batch_format="pandas"))
@@ -97,7 +99,9 @@ def densify_region_tiles(cells_ds, grid: GridSpec, label_cols: list[str], *,
                 pa.array(dense), TT)
         return pa.table(out)
 
-    return (cells_ds.map_batches(add_tile, batch_format="pyarrow")
+    from ..util import pin_for_shuffle
+
+    return (pin_for_shuffle(cells_ds.map_batches(add_tile, batch_format="pyarrow"))
             .groupby("_bucket")
             .map_groups(densify_bucket, batch_format="pandas"))
 

@@ -90,7 +90,9 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embeddi
                   fn_constructor_args=(qref, k, vec_col, id_col))
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    partials = ds.map_batches(CosineTopK, **kwargs)
+    from ..util import pin_for_shuffle
+
+    partials = pin_for_shuffle(ds.map_batches(CosineTopK, **kwargs))
     # all partials for one query must meet: tiny shuffle on query_id
     return partials.groupby("query_id").map_groups(
         lambda df: combine_topk(df, k, id_col), batch_format="pandas")
@@ -211,8 +213,10 @@ def cosine_near_dup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_
         a, b = _dedup_pairs_arrays(ids_s[ia], ids_s[ib])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    candidates = (ds.map_batches(Signature, batch_format="pyarrow",
-                                 concurrency=2, num_cpus=0.5)
+    from ..util import pin_for_shuffle
+
+    candidates = (pin_for_shuffle(ds.map_batches(Signature, batch_format="pyarrow",
+                                                 concurrency=2, num_cpus=0.5))
                   .groupby("_bucket")
                   .map_groups(emit_bucket, batch_format="pandas"))
     # vector re-attach: each side of the docs table shuffles ONCE against

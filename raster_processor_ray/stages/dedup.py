@@ -50,8 +50,10 @@ def exact_dedup(ds, key: str, order_by: str | list[str] | None = None, *,
         df = df.drop(columns=["_bucket"]).sort_values(sort_cols, kind="mergesort")
         return df.drop_duplicates(subset=[key], keep="first")
 
+    from ..util import pin_for_shuffle
+
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(first_per_key, batch_format="pandas")
     )
@@ -226,7 +228,9 @@ def _distinct_pairs(pairs_ds, *, num_buckets: int = 64,
         a, b = _dedup_pairs_arrays(df["id_a"].to_numpy(), df["id_b"].to_numpy())
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    return (pairs_ds.map_batches(add_pb, batch_format="pyarrow")
+    from ..util import pin_for_shuffle
+
+    return (pin_for_shuffle(pairs_ds.map_batches(add_pb, batch_format="pyarrow"))
             .groupby("_pb").map_groups(uniq, batch_format="pandas"))
 
 
@@ -284,8 +288,10 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         a, b = _dedup_pairs_arrays(ids_s[ia], ids_s[ib])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
+    from ..util import pin_for_shuffle
+
     pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
+        pin_for_shuffle(ds.map_batches(to_bands, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(emit_bucket, batch_format="pandas")
     )
@@ -476,10 +482,12 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
         a, b = _dedup_pairs_arrays(ids_s[ia[m]], ids_s[ib[m]])
         return pd.DataFrame({"id_a": a, "id_b": b})
 
+    from ..util import pin_for_shuffle
+
     pairs = (
-        ds.map_batches(fp, batch_format="pyarrow")
-        .map_batches(explode_chunks, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
+        pin_for_shuffle(ds.map_batches(fp, batch_format="pyarrow")
+                        .map_batches(explode_chunks, batch_format="pyarrow")
+                        .map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(emit_bucket, batch_format="pandas")
     )

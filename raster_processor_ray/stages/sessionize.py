@@ -31,7 +31,9 @@ def sessionize(ds, key: str, ts_col: str, gap):
 
     ``gap``: a numeric delta or pandas Timedelta matching ``ts_col``'s type.
     """
-    return ds.groupby(key).map_groups(
+    from ..util import pin_for_shuffle
+
+    return pin_for_shuffle(ds).groupby(key).map_groups(
         lambda df: sessionize_group(df, ts_col, gap), batch_format="pandas")
 
 
@@ -50,4 +52,6 @@ def session_stats(ds, key: str, ts_col: str, gap, value_col: str | None = None):
         g.insert(0, key, df[key].iloc[0])
         return g
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    from ..util import pin_for_shuffle
+
+    return pin_for_shuffle(ds).groupby(key).map_groups(per_key, batch_format="pandas")

@@ -165,7 +165,9 @@ def densify_tiles(cells_ds, grid: GridSpec, *, polygon_index=None,
                     np.nanmax(xts.reshape(n_tiles, TT), axis=1))
         return pa.table(out)
 
-    return (cells_ds.map_batches(add_bucket, batch_format="pyarrow")
+    from ..util import pin_for_shuffle
+
+    return (pin_for_shuffle(cells_ds.map_batches(add_bucket, batch_format="pyarrow"))
             .groupby("_bucket")
             .map_groups(densify_bucket, batch_format="pandas"))
 

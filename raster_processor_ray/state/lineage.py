@@ -212,7 +212,10 @@ def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
         return pd.DataFrame([{k: v for k, v in manifest.items()
                               if k in ("shard", "rows", "bytes", "key_hash")}])
 
-    res = ds.groupby(shard_col).map_groups(write_shard, batch_format="pandas")
+    from ..util import pin_for_shuffle
+
+    res = pin_for_shuffle(ds).groupby(shard_col).map_groups(
+        write_shard, batch_format="pandas")
     out = res.to_pandas()
     _write_run_manifest(out_dir, {
         "complete": True, "num_shards": num_shards, "key_col": key_col,
