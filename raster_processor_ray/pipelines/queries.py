@@ -907,6 +907,42 @@ def q_simhash_fingerprints(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing end-to-end over a real-sized corpus: synthetic
+    binary payloads (documents' utf-8 bytes standing in for image blobs)
+    -> small-batch actor-pool decode stub -> per-source feature mean.
+    The codec itself is stubbed (no image libs in this sandbox); the
+    schema / batch-size / actor plumbing is the real scale shape."""
+    from ..stages.media import DecodeImageStub
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        texts = [t or "" for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "payload": pa.array([t.encode() for t in texts], type=pa.binary()),
+        })
+
+    decoded = ds.map_batches(to_payload, batch_format="pyarrow")         .map_batches(DecodeImageStub, batch_format="pyarrow", batch_size=512,
+                     concurrency=2, num_cpus=0.5)
+
+    def first_feat(b: pa.Table) -> pa.Table:
+        feats = b["img_features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        f0 = np.asarray(feats.values, dtype=np.float64).reshape(
+            b.num_rows, -1)[:, 0]
+        return pa.table({"source": b["source"],
+                         "width": b["img_width"], "f0": pa.array(f0)})
+
+    return hash_aggregate(decoded.map_batches(first_feat, batch_format="pyarrow"),
+                          "source", {"n": (None, "count"),
+                                     "mean_width": ("width", "mean"),
+                                     "mean_f0": ("f0", "mean")})
+
+
 def q_langid(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pandas", concurrency=2, num_cpus=0.5)
@@ -984,6 +1020,7 @@ def queries() -> dict:
         "minhash_pairs": q_minhash_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "langid": q_langid,
+        "media_decode": q_media_decode,
         "quality": q_quality,
         "flagship_tiles": q_flagship_tiles,
     }

@@ -142,3 +142,79 @@ def knn_join(ds, site_ids, lats, lons, k: int = 3, *, lat_col: str = "lat",
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(KnnJoin, **kwargs)
+
+
+def knn_join_sharded(ds, site_ids, lats, lons, k: int = 3, *,
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     point_id_col: str, shard_size: int = 50_000,
+                     batch_size: int = 8192, num_buckets: int = 64):
+    """kNN join for site tables TOO LARGE to broadcast whole.
+
+    Sites are split into broadcastable shards; each shard's KnnIndex
+    streams over the points emitting its local top-k (map-only, no
+    shuffle per shard), and ONE bounded exchange per point id merges the
+    per-shard candidates to the global top-k. Exact: the global k
+    nearest are each nearest within their own shard. Cost is
+    O(points x shards) matmul rows — the brute-force frontier; an IVF/
+    cell-prefilter composition (``ann.ivf_build_index`` shape) is the
+    sub-linear path when sites are spatially clusterable.
+
+    Requires a unique ``point_id_col`` to merge candidates per point.
+    Output: point columns + knn_rank / site_id / dist_m, k rows per point.
+    """
+    import pandas as pd
+    import ray
+
+    from ..util import pin_for_shuffle
+
+    site_ids = np.asarray(site_ids)
+    lats = np.asarray(lats)
+    lons = np.asarray(lons)
+    n_sites = len(site_ids)
+    shard_refs = []
+    for s0 in range(0, n_sites, shard_size):
+        sl = slice(s0, min(s0 + shard_size, n_sites))
+        shard_refs.append(ray.put(KnnIndex(site_ids[sl], lats[sl], lons[sl])))
+
+    # stateless tasks with a per-process index cache, NOT actor pools:
+    # one pool per shard would reserve shards x concurrency x num_cpus
+    # CPUs up front and deadlock small sessions; tasks also fuse with
+    # the upstream read
+    _idx_cache: dict = {}
+
+    def shard_fn(ref):
+        def f(b: pa.Table) -> pa.Table:
+            import ray
+
+            idx = _idx_cache.get(ref)
+            if idx is None:
+                idx = ray.get(ref)
+                _idx_cache.clear()
+                _idx_cache[ref] = idx
+            return KnnJoin(idx, k, lat_col, lon_col)(b)
+        return f
+
+    out = None
+    for ref in shard_refs:
+        part = ds.map_batches(shard_fn(ref), batch_format="pyarrow",
+                              batch_size=batch_size)
+        out = part if out is None else out.union(part)
+
+    def add_bucket(b):
+        import pyarrow as _pa
+
+        pid = np.asarray(b[point_id_col]).astype(np.int64)
+        return b.append_column("_bucket", _pa.array(pid % num_buckets))
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"])
+        df = df.sort_values([point_id_col, "dist_m", "site_id"],
+                            kind="mergesort")
+        top = df.groupby(point_id_col, as_index=False, sort=False).head(k)
+        top = top.copy()
+        top["knn_rank"] = top.groupby(point_id_col).cumcount() + 1
+        return top
+
+    return (pin_for_shuffle(out.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("_bucket")
+            .map_groups(merge_topk, batch_format="pandas"))

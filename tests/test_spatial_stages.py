@@ -199,3 +199,37 @@ class TestZonal:
         got = zonal_mode(rd.from_pandas(df)).to_pandas().sort_values("grid_cell")
         assert list(got.mode_label) == ["x", "a", "z"]  # tie in cell 2 -> 'a'
         assert list(got.mode_count) == [2, 1, 1]
+
+
+class TestKnnSharded:
+    def test_sharded_equals_broadcast(self, ray_session):
+        """knn_join_sharded (site table split into shards + per-point
+        merge) returns exactly the broadcast knn_join result."""
+        import pandas as pd
+        import ray.data as rd
+        from raster_processor_ray.geo.hashing import splitmix64
+        from raster_processor_ray.stages.knn import knn_join, knn_join_sharded
+
+        ns, npts = 500, 800
+        sid = np.arange(ns, dtype=np.int64)
+        h = splitmix64(sid.astype(np.uint64))
+        slat = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32 * 160 - 80
+        slon = (h >> np.uint64(32)).astype(np.float64) / 2**32 * 360 - 180
+        pid = np.arange(npts, dtype=np.int64)
+        hp = splitmix64(pid.astype(np.uint64) + np.uint64(99))
+        plat = (hp & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32 * 160 - 80
+        plon = (hp >> np.uint64(32)).astype(np.float64) / 2**32 * 360 - 180
+        pts = rd.from_pandas(pd.DataFrame(
+            {"pid": pid, "lat": plat, "lon": plon})).repartition(3)
+
+        want = knn_join(pts, sid, slat, slon, k=3).to_pandas() \
+            .sort_values(["pid", "knn_rank"]).reset_index(drop=True)
+        got = knn_join_sharded(pts, sid, slat, slon, k=3, point_id_col="pid",
+                               shard_size=120).to_pandas() \
+            .sort_values(["pid", "knn_rank"]).reset_index(drop=True)
+        assert len(got) == npts * 3
+        np.testing.assert_array_equal(got.pid.to_numpy(), want.pid.to_numpy())
+        np.testing.assert_array_equal(got.site_id.to_numpy(),
+                                      want.site_id.to_numpy())
+        np.testing.assert_allclose(got.dist_m.to_numpy(),
+                                   want.dist_m.to_numpy(), rtol=1e-9)
