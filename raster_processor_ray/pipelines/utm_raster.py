@@ -116,6 +116,22 @@ def rasterize_utm(ds, *, res_m: float, cfg: AggConfig = DEFAULT_AGG,
         cell = np.where(ok, grid_cell_key(grid, iy, ix), -1)
         return b.append_column("grid_cell", pa.array(cell, type=pa.int64()))
 
+    northern = 0.5 * (grid.y_min + grid.y_max) >= 0 or grid.y_min >= 0
+
+    def add_cell_latlon(b: pa.Table) -> pa.Table:
+        """The product's latitude/longitude layers: cell CENTERS inverse-
+        projected to WGS84 (reference aggregate_px_latlon,
+        raster_agg.py:97-109 — cell-center TransformPoint per cell)."""
+        iy = np.asarray(b["iy"]).astype(np.float64)
+        ix = np.asarray(b["ix"]).astype(np.float64)
+        ce = grid.x_min + ix * grid.res
+        cn = grid.y_min + iy * grid.res
+        clat, clon = utm.utm_to_latlon(ce, cn, np.full(len(ce), zone),
+                                       northern=northern)
+        out = b.append_column("cell_lat", pa.array(clat))
+        return out.append_column("cell_lon", pa.array(clon))
+
     cells = rasterize(ds.map_batches(bin_batch, batch_format="pyarrow"),
                       grid, cfg, num_buckets=num_buckets)
-    return cells, grid, zone, band
+    return (cells.map_batches(add_cell_latlon, batch_format="pyarrow"),
+            grid, zone, band)

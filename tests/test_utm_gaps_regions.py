@@ -192,3 +192,21 @@ class TestRegionMap:
         dense = np.asarray(row["region_map_river"]).reshape(T, T)
         assert dense.dtype == np.int64
         assert ((dense == RM.REGION_FILL) | (dense >= 0)).all()
+
+
+class TestCellLatlon:
+    def test_cell_centers_roundtrip(self, ray_session):
+        """The latitude/longitude layers are the cell centers inverse-
+        projected to WGS84 (aggregate_px_latlon parity): re-projecting
+        them forward lands back on the exact center grid coordinates."""
+        df = pts_df(1500)
+        cells, grid, zone, _ = rasterize_utm(rd.from_pandas(df), res_m=5000.0)
+        got = cells.to_pandas()
+        assert {"cell_lat", "cell_lon"} <= set(got.columns)
+        e, n, _ = utm.latlon_to_utm(got.cell_lat.to_numpy(),
+                                    got.cell_lon.to_numpy(),
+                                    zone=np.full(len(got), zone))
+        np.testing.assert_allclose(
+            e, grid.x_min + got.ix.to_numpy() * grid.res, atol=1e-3)
+        np.testing.assert_allclose(
+            n, grid.y_min + got.iy.to_numpy() * grid.res, atol=1e-3)
