@@ -1,8 +1,15 @@
 """CLI entry point — the `ray job submit` target (SURVEY.md §7 M7).
 
-    python -m raster_processor_ray flagship <pages_parquet> <out_dir>
-        [--grid res] [--shards N] [--checkpoint DIR] [--resume]
-    python -m raster_processor_ray rasterize <pages_parquet> <out_dir> ...
+    python -m raster_processor_ray flagship  <pages_parquet> <out_dir>
+    python -m raster_processor_ray rasterize <pages_parquet> <out_dir>
+        [--grid-res R] [--shards N] [--checkpoint DIR] [--resume]
+    python -m raster_processor_ray geoloc    <points_parquet> <out_dir>
+        [--mode none|lowres_raster|pixcvec] [--scale-factor K]
+    python -m raster_processor_ray utm       <points_parquet> <out_dir>
+        [--res-m M] [--padding-m P]
+    python -m raster_processor_ray regionmap <points_parquet> <out_dir>
+        --labels col1,col2 [--grid-res R]
+    python -m raster_processor_ray densify   <pages_parquet> <out_dir>
 
 Owns its Ray session (guarded init: on a cluster, `ray job submit` has
 RAY_ADDRESS set and the existing session is used).
@@ -15,18 +22,42 @@ import json
 import sys
 
 
+def _grid_args(s):
+    s.add_argument("--grid-res", type=float, default=0.5)
+    s.add_argument("--tile-size", type=int, default=256)
+    s.add_argument("--shards", type=int, default=64)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="raster_processor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("flagship", "rasterize"):
+    for name in ("flagship", "rasterize", "densify"):
         s = sub.add_parser(name)
         s.add_argument("pages")
         s.add_argument("out_dir")
-        s.add_argument("--grid-res", type=float, default=0.5)
-        s.add_argument("--tile-size", type=int, default=256)
-        s.add_argument("--shards", type=int, default=64)
+        _grid_args(s)
         s.add_argument("--checkpoint", default=None)
         s.add_argument("--resume", action="store_true")
+    s = sub.add_parser("geoloc")
+    s.add_argument("points")
+    s.add_argument("out_dir")
+    _grid_args(s)
+    s.add_argument("--mode", default="none",
+                   choices=("none", "lowres_raster", "pixcvec"))
+    s.add_argument("--scale-factor", type=int, default=4)
+    s = sub.add_parser("utm")
+    s.add_argument("points")
+    s.add_argument("out_dir")
+    s.add_argument("--res-m", type=float, default=100.0)
+    s.add_argument("--padding-m", type=float, default=0.0)
+    s.add_argument("--tile-size", type=int, default=256)
+    s.add_argument("--shards", type=int, default=64)
+    s = sub.add_parser("regionmap")
+    s.add_argument("points")
+    s.add_argument("out_dir")
+    _grid_args(s)
+    s.add_argument("--labels", required=True,
+                   help="comma-separated region label columns")
     args = p.parse_args(argv)
 
     import ray
@@ -37,7 +68,24 @@ def main(argv=None):
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        import ray.data as rd
+
         from .geo.cells import GridSpec
+        from .state import lineage
+
+        if args.cmd == "utm":
+            from .pipelines.utm_raster import rasterize_utm
+
+            pts = rd.read_parquet(args.points)
+            cells, grid, zone, band = rasterize_utm(
+                pts, res_m=args.res_m, padding_m=args.padding_m,
+                tile_size=args.tile_size)
+            m = lineage.write_resumable(cells, args.out_dir,
+                                        key_col="tile_id",
+                                        num_shards=args.shards)
+            print(json.dumps({"zone": zone, "band": band,
+                              "shards": len(m), "rows": int(m.rows.sum())}))
+            return 0
 
         grid = GridSpec(x_min=-180.0, y_min=-90.0, x_max=180.0, y_max=90.0,
                         res=args.grid_res, tile_size=args.tile_size,
@@ -51,7 +99,7 @@ def main(argv=None):
             print(json.dumps({"tiles_shards": len(tiles),
                               "tile_rows": int(tiles.rows.sum()),
                               "zonal_shards": len(zonal)}))
-        else:
+        elif args.cmd == "rasterize":
             from .pipelines.flagship import run_flagship
 
             m = run_flagship(args.pages, args.out_dir, grid=grid,
@@ -59,8 +107,43 @@ def main(argv=None):
                              checkpoint_partials_dir=args.checkpoint,
                              resume=args.resume)
             print(json.dumps({"shards": len(m), "rows": int(m.rows.sum())}))
+        elif args.cmd == "densify":
+            from .pipelines.flagship import rasterize_pages
+            from .sources.pages import pages_geotag
+            from .state.densify import write_dense_tiles
+
+            ds = rd.read_parquet(args.pages,
+                                 columns=["url", "warc_ts", "text"])
+            cells = rasterize_pages(ds, grid=grid)
+            m = write_dense_tiles(cells, args.out_dir, grid,
+                                  num_shards=args.shards)
+            print(json.dumps({"tiles": int(m.rows.sum()), "shards": len(m)}))
+        elif args.cmd == "regionmap":
+            from .pipelines.geoloc import add_cell_column
+            from .pipelines.region_map import write_region_map
+
+            pts = add_cell_column(rd.read_parquet(args.points), grid)
+            m = write_region_map(pts, grid, args.out_dir,
+                                 args.labels.split(","),
+                                 num_shards=args.shards)
+            print(json.dumps({"tiles": int(m.rows.sum()), "shards": len(m)}))
+        elif args.cmd == "geoloc":
+            from .pipelines.geoloc import (geoloc_refined_rasterize,
+                                           synth_nadir_track)
+
+            pts = rd.read_parquet(args.points)
+            track = (synth_nadir_track(512)
+                     if args.mode == "lowres_raster" else None)
+            cells = geoloc_refined_rasterize(
+                pts, grid, mode=args.mode, scale_factor=args.scale_factor,
+                nadir_track=track)
+            m = lineage.write_resumable(cells, args.out_dir,
+                                        key_col="tile_id",
+                                        num_shards=args.shards)
+            print(json.dumps({"shards": len(m), "rows": int(m.rows.sum())}))
     finally:
         ray.shutdown()
+    return 0
 
 
 if __name__ == "__main__":
