@@ -87,3 +87,34 @@ def test_binning_center_inverse(lat, lon):
         cy = g.y_min + iy[0] * g.res
         iy2, ix2, ok2 = cells.bin_to_grid(g, np.array([cx]), np.array([cy]))
         assert ok2[0] and iy2[0] == iy[0] and ix2[0] == ix[0]
+
+
+class TestGroupPairIndices:
+    """Property: the vectorized group-pair kernel emits exactly C(s,2)
+    pairs for every under-cap group and (s-1) star pairs for over-cap
+    groups, always with ia < ib positionally."""
+
+    @given(st.lists(st.integers(min_value=1, max_value=40), min_size=0,
+                    max_size=20),
+           st.integers(min_value=2, max_value=12))
+    @settings(max_examples=200, deadline=None)
+    def test_pair_counts(self, sizes, cap):
+        from raster_processor_ray.stages.dedup import _group_pair_indices
+
+        sizes = np.array(sizes, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64) \
+            if len(sizes) else np.empty(0, dtype=np.int64)
+        ia, ib, ncol = _group_pair_indices(sizes, starts, cap)
+        want = sum(int(s * (s - 1) // 2) for s in sizes if 2 <= s <= cap)
+        want += sum(int(s - 1) for s in sizes if s > cap)
+        assert len(ia) == len(ib) == want
+        assert ncol == int((sizes > cap).sum())
+        assert (ia < ib).all()
+        # every index stays inside its own group
+        total = int(sizes.sum())
+        if want:
+            assert ia.min() >= 0 and ib.max() < total
+            ends = np.concatenate([starts, [total]])
+            ga = np.searchsorted(ends, ia, side="right") - 1
+            gb = np.searchsorted(ends, ib, side="right") - 1
+            np.testing.assert_array_equal(ga, gb)
