@@ -47,6 +47,14 @@ _2SQRTN_1PN = 2.0 * np.sqrt(_n) / (1.0 + _n)
 MGRS_BANDS = "CDEFGHJKLMNPQRSTUVWX"
 
 
+def band_is_south(band: str) -> bool:
+    """Hemisphere from the MGRS band letter: C..M southern, N..X northern
+    (reference ``hemisphere_from_mgrs_band``, raster_crs.py:112-116 —
+    applied to the band AFTER any ``mgrs_band_adjust`` shift, matching
+    ``utm_crs_from_point``, raster_crs.py:160-171)."""
+    return band < "N"
+
+
 def utm_zone(lat_deg, lon_deg) -> np.ndarray:
     """UTM zone number with the standard Norway (32V) and Svalbard
     exceptions (semantics of reference raster_crs.py:59-135)."""
@@ -79,12 +87,21 @@ def utm_epsg(zone: np.ndarray, lat_deg) -> np.ndarray:
     return np.where(north, 32600, 32700) + np.asarray(zone, dtype=np.int64)
 
 
-def latlon_to_utm(lat_deg, lon_deg, zone=None):
+def latlon_to_utm(lat_deg, lon_deg, zone=None, south=None):
     """Forward transverse-Mercator: (lat, lon) -> (easting, northing, zone).
 
     Vectorized Krüger series; |error| vs a reference implementation is
     sub-mm within a zone. ``zone`` may be given to force a neighbor zone
-    (the reference's zone-adjust knobs, raster_crs.py:97-135)."""
+    (the reference's zone-adjust knobs, raster_crs.py:97-135).
+
+    ``south`` selects the CRS hemisphere (EPSG 326xx north / 327xx south
+    — reference ``hemisphere_from_mgrs_band``, raster_crs.py:112-116):
+    ``south=True`` applies the 10,000,000 m false northing to EVERY
+    point, ``south=False`` to none — the correct per-scene convention (a
+    scene straddling the equator must use ONE hemisphere or its northing
+    field is discontinuous). ``south=None`` keeps the legacy per-point
+    rule (false northing iff the point's own latitude < 0), which is
+    right only for point-local features, never for a shared grid."""
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     lon = np.asarray(lon_deg, dtype=np.float64)
     if zone is None:
@@ -105,10 +122,12 @@ def latlon_to_utm(lat_deg, lon_deg, zone=None):
         eta += _ALPHA[k] * np.cos(j * xi_p) * np.sinh(j * eta_p)
     easting = FALSE_EASTING + K0 * _A * eta
     northing = K0 * _A * xi
-    # hemisphere from the INPUT latitude, matching the `northern = lat >= 0`
-    # caller convention exactly (deciding from sign(northing) disagrees at
-    # the equator for -0.0 / subnormal latitudes)
-    south = np.asarray(lat_deg, dtype=np.float64) < 0
+    if south is None:
+        # legacy: hemisphere from the INPUT latitude per point, matching
+        # the `northern = lat >= 0` caller convention exactly (deciding
+        # from sign(northing) disagrees at the equator for -0.0 /
+        # subnormal latitudes)
+        south = np.asarray(lat_deg, dtype=np.float64) < 0
     northing = np.where(south, northing + FALSE_NORTHING_SOUTH, northing)
     return easting, northing, zone
 

@@ -227,6 +227,49 @@ class EnrichPages:
 
 _ENRICH_CACHE: dict = {}
 
+ZONAL_SITE_BITS = 20
+
+
+def pack_cell_site(cells: np.ndarray, sites: np.ndarray) -> np.ndarray:
+    """Pack (grid_cell, site_id) into one int64 key: cell * 2^20 + site.
+
+    The pack is only injective for 0 <= site_id < 2^20; a larger (or
+    negative) id would silently corrupt the CELL part of neighbouring
+    keys, so the range is enforced here (site tables needing wider ids
+    should carry (cell, site) as two columns instead of packing)."""
+    sites = np.asarray(sites, dtype=np.int64)
+    if len(sites):
+        smin, smax = sites.min(), sites.max()
+        if smin < 0 or smax >= (1 << ZONAL_SITE_BITS):
+            raise ValueError(
+                f"site_id out of packable range [0, 2^{ZONAL_SITE_BITS}): "
+                f"min={smin} max={smax}; widen to a two-column zonal key")
+    return np.asarray(cells, dtype=np.int64) * np.int64(1 << ZONAL_SITE_BITS) + sites
+
+
+def unpack_zonal_lists(t: pa.Table):
+    """Flatten the packed per-row (site_ids, site_cnts) list columns into
+    aligned flat (cell, site, count) arrays.
+
+    Uses ``flatten()``, NOT ``.values``: a ListArray whose offsets start
+    at k>0 (enrich emits one whenever partials skip leading pair keys,
+    e.g. out-of-grid -1 cells) or a sliced group block leaves k stale
+    leading elements in ``.values``, misaligning cells against sites.
+    ``flatten()`` honours the array offset and offsets[0]; np.diff of the
+    offsets gives per-row lengths consistent with it."""
+    sids = t["site_ids"]
+    if isinstance(sids, pa.ChunkedArray):
+        sids = sids.combine_chunks()
+    scnts = t["site_cnts"]
+    if isinstance(scnts, pa.ChunkedArray):
+        scnts = scnts.combine_chunks()
+    row_cells = np.asarray(t["grid_cell"], dtype=np.int64)
+    lens = np.diff(np.asarray(sids.offsets, dtype=np.int64))
+    flat_cells = np.repeat(row_cells, lens)
+    flat_sites = np.asarray(sids.flatten(), dtype=np.int64)
+    flat_cnts = np.asarray(scnts.flatten(), dtype=np.int64)
+    return flat_cells, flat_sites, flat_cnts
+
 
 def _cached_enricher(grid: GridSpec, poly_ref, knn_ref, knn_refine: int):
     """Per-worker-process cached EnrichPages (task-fusion form).
@@ -320,15 +363,16 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         # aligned with p's np.unique-sorted cell order
         zcell = np.asarray(e["grid_cell"]).astype(np.int64)
         zsite = np.asarray(e["site_id"]).astype(np.int64)
-        packed = zcell * np.int64(1 << 20) + zsite   # site_id < 2^20
+        packed = pack_cell_site(zcell, zsite)
         uniq, cnt = np.unique(packed, return_counts=True)
-        pair_cells = (uniq >> np.int64(20))
+        pair_cells = (uniq >> np.int64(ZONAL_SITE_BITS))
         p_cells = np.asarray(p["grid_cell"], dtype=np.int64)
         offsets = np.concatenate([
             np.searchsorted(pair_cells, p_cells, side="left"),
             [len(pair_cells)]]).astype(np.int32)
         out = p.append_column("site_ids", pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(uniq & np.int64((1 << 20) - 1))))
+            pa.array(offsets),
+            pa.array(uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))))
         out = out.append_column("site_cnts", pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(cnt.astype(np.int64))))
         return out.append_column("_bucket", pa.array(p_cells % num_buckets))
@@ -341,22 +385,12 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         ).to_pandas()
         # dominant site: flatten the packed lists, re-sum per (cell, site)
         # (a cell spans many partial rows), argmax with tie -> smallest id
-        sids = t["site_ids"]
-        if isinstance(sids, pa.ChunkedArray):
-            sids = sids.combine_chunks()
-        scnts = t["site_cnts"]
-        if isinstance(scnts, pa.ChunkedArray):
-            scnts = scnts.combine_chunks()
-        row_cells = np.asarray(t["grid_cell"], dtype=np.int64)
-        lens = np.diff(np.asarray(sids.offsets, dtype=np.int64))
-        flat_cells = np.repeat(row_cells, lens)
-        flat_sites = np.asarray(sids.values, dtype=np.int64)
-        flat_cnts = np.asarray(scnts.values, dtype=np.int64)
-        packed = flat_cells * np.int64(1 << 20) + flat_sites
+        flat_cells, flat_sites, flat_cnts = unpack_zonal_lists(t)
+        packed = pack_cell_site(flat_cells, flat_sites)
         uniq, inv = np.unique(packed, return_inverse=True)
         sums = np.bincount(inv, weights=flat_cnts.astype(np.float64))
-        ucells = uniq >> np.int64(20)
-        usites = (uniq & np.int64((1 << 20) - 1))
+        ucells = uniq >> np.int64(ZONAL_SITE_BITS)
+        usites = (uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))
         # per cell argmax: sort by (cell, -count, site); uniq is already
         # sorted by (cell, site) so a stable lexsort on -count suffices
         order = np.lexsort((usites, -sums, ucells))

@@ -129,14 +129,20 @@ class CoarseFeedback:
         self.lon_col = lon_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        own = np.asarray(b[self.value_col], dtype=np.float64)
+        if len(self.cells) == 0:
+            # empty LUT (every point binned out of the coarse grid):
+            # fall back to the points' own values. Must early-return —
+            # numpy `&` does not short-circuit, so the searchsorted
+            # index below would IndexError on the empty array.
+            return b.append_column("improved_value", pa.array(own))
         lon = np.asarray(b[self.lon_col], dtype=np.float64)
         lat = np.asarray(b[self.lat_col], dtype=np.float64)
         iy, ix, ok = bin_to_grid(self.coarse, lon, lat)
         cell = np.where(ok, grid_cell_key(self.coarse, iy, ix), -1)
         pos = np.searchsorted(self.cells, cell)
-        pos_c = np.clip(pos, 0, max(0, len(self.cells) - 1))
-        hit = ok & (len(self.cells) > 0) & (self.cells[pos_c] == cell)
-        own = np.asarray(b[self.value_col], dtype=np.float64)
+        pos_c = np.clip(pos, 0, len(self.cells) - 1)
+        hit = ok & (self.cells[pos_c] == cell)
         improved = np.where(hit, self.vals[pos_c], own)
         return b.append_column("improved_value", pa.array(improved))
 

@@ -71,11 +71,18 @@ def utm_scene_grid(ds, *, res_m: float, lat_col: str = "lat",
     band_i = np.clip(int((np.clip(mid_lat, -80.0, 84.0) + 80.0) // 8)
                      + mgrs_band_adjust, 0, len(utm.MGRS_BANDS) - 1)
     band = utm.MGRS_BANDS[int(band_i)]
+    # ONE hemisphere per scene, from the (adjusted) band like the
+    # reference's utm_crs_from_point (raster_crs.py:160-171): a scene
+    # straddling the equator projects every point in the same EPSG
+    # 326xx/327xx CRS — per-point false northing would split the
+    # northing field by 10^7 m at the equator.
+    south = utm.band_is_south(band)
 
     def project(b: pa.Table) -> pa.Table:
         lat = np.asarray(b[lat_col], dtype=np.float64)
         lon = np.asarray(b[lon_col], dtype=np.float64)
-        e, n, _ = utm.latlon_to_utm(lat, lon, zone=np.full(len(lat), zone))
+        e, n, _ = utm.latlon_to_utm(lat, lon, zone=np.full(len(lat), zone),
+                                    south=south)
         return pa.table({"easting": pa.array(e), "northing": pa.array(n)})
 
     en = _minmax_scan(
@@ -108,15 +115,22 @@ def rasterize_utm(ds, *, res_m: float, cfg: AggConfig = DEFAULT_AGG,
         padding_m=padding_m, tile_size=tile_size,
         utm_zone_adjust=utm_zone_adjust, mgrs_band_adjust=mgrs_band_adjust)
 
+    # scene hemisphere from the ADJUSTED band (same rule utm_scene_grid
+    # used to project the grid bounds): after latlon_to_utm(..., south=)
+    # every northing — and hence the grid — carries the same false
+    # northing, so the inverse must use the same flag. Deriving it from
+    # the sign of the northing would always say "northern" (southern
+    # northings sit near 10^7 m, never below 0).
+    south = utm.band_is_south(band)
+
     def bin_batch(b: pa.Table) -> pa.Table:
         lat = np.asarray(b[lat_col], dtype=np.float64)
         lon = np.asarray(b[lon_col], dtype=np.float64)
-        e, n, _ = utm.latlon_to_utm(lat, lon, zone=np.full(len(lat), zone))
+        e, n, _ = utm.latlon_to_utm(lat, lon, zone=np.full(len(lat), zone),
+                                    south=south)
         iy, ix, ok = bin_to_grid(grid, e, n)
         cell = np.where(ok, grid_cell_key(grid, iy, ix), -1)
         return b.append_column("grid_cell", pa.array(cell, type=pa.int64()))
-
-    northern = 0.5 * (grid.y_min + grid.y_max) >= 0 or grid.y_min >= 0
 
     def add_cell_latlon(b: pa.Table) -> pa.Table:
         """The product's latitude/longitude layers: cell CENTERS inverse-
@@ -127,7 +141,7 @@ def rasterize_utm(ds, *, res_m: float, cfg: AggConfig = DEFAULT_AGG,
         ce = grid.x_min + ix * grid.res
         cn = grid.y_min + iy * grid.res
         clat, clon = utm.utm_to_latlon(ce, cn, np.full(len(ce), zone),
-                                       northern=northern)
+                                       northern=not south)
         out = b.append_column("cell_lat", pa.array(clat))
         return out.append_column("cell_lon", pa.array(clon))
 

@@ -113,10 +113,13 @@ class LangId:
         head = pc.utf8_slice_codeunits(text, 0, 200)
         cjk = pc.count_substring_regex(head, _CJK_RE).to_numpy(zero_copy_only=False)
         arab = pc.count_substring_regex(head, _ARABIC_RE).to_numpy(zero_copy_only=False)
-        preds = np.where(cjk > 5, "zh", preds)
-        scores = np.where(cjk > 5, 1.0, scores)
+        # Arabic override FIRST, CJK second: the row-loop original checked
+        # CJK first and `continue`d, so CJK wins when a head has >5 of BOTH
+        # scripts — applying CJK last preserves that precedence.
         preds = np.where(arab > 5, "ar", preds)
         scores = np.where(arab > 5, 1.0, scores)
+        preds = np.where(cjk > 5, "zh", preds)
+        scores = np.where(cjk > 5, 1.0, scores)
         batch = batch.copy()
         batch["lang_pred"] = preds
         batch["lang_score"] = scores.astype(np.float64)
