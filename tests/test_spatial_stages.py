@@ -189,6 +189,40 @@ class TestSessionize:
         a1 = stats[(stats.user == "a") & (stats.session_seq == 1)].iloc[0]
         assert a1.n_events == 2 and a1.session_start == 50.0 and a1.sum_value == 7.0
 
+    def test_many_keys_vectorized_matches_pandas_oracle(self, ray_session):
+        """Per-bucket vectorized split (one cumsum across ALL keys in a
+        bucket) vs a per-key pandas oracle, at a key count where a
+        map_groups-per-key implementation would explode into 10^4 tasks."""
+        from raster_processor_ray.geo.hashing import splitmix64
+
+        n = 60_000
+        idx = np.arange(n, dtype=np.uint64)
+        u = lambda s: splitmix64(idx + np.uint64(s)).astype(np.float64) / float(2**64)
+        df = pd.DataFrame({
+            "user": (u(1) * 10_000).astype(np.int64),
+            "ts": np.floor(u(2) * 5_000.0),
+            "v": u(3),
+        })
+        got = sessionize(rd.from_pandas(df).repartition(7),
+                         "user", "ts", 3.0).to_pandas() \
+            .sort_values(["user", "ts", "v"]).reset_index(drop=True)
+
+        def oracle(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("ts", kind="mergesort")
+            g["session_seq"] = ((g.ts - g.ts.shift(1)) > 3.0).cumsum()
+            return g
+
+        want = (df.groupby("user", group_keys=False)[df.columns.tolist()]
+                .apply(oracle)
+                .sort_values(["user", "ts", "v"]).reset_index(drop=True))
+        np.testing.assert_array_equal(got.session_seq.to_numpy(),
+                                      want.session_seq.to_numpy())
+        # stats row-count parity: one row per (user, session)
+        stats = session_stats(rd.from_pandas(df), "user", "ts", 3.0,
+                              "v").to_pandas()
+        assert len(stats) == want.groupby(["user", "session_seq"]).ngroups
+        np.testing.assert_allclose(stats.sum_value.sum(), df.v.sum())
+
 
 class TestZonal:
     def test_mode_with_ties(self, ray_session):
