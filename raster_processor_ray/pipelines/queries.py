@@ -223,6 +223,19 @@ def q_knn_top3(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_knn_bucketed(sf_dir: str):
+    """Cell-prefiltered exact kNN (KnnGridIndex: probe ring + spherical-
+    cap verify + brute fallback) — must equal q_knn_top3's oracle."""
+    from ..stages.knn import knn_join_bucketed
+
+    ds = _docs_with_geo(sf_dir)
+    out = knn_join_bucketed(ds, KNN_SITES.site_id.to_numpy(),
+                            KNN_SITES.lat.to_numpy(),
+                            KNN_SITES.lon.to_numpy(), k=3)
+    return out.map_batches(lambda b: b.select(["doc_id", "knn_rank", "site_id"]),
+                           batch_format="pyarrow")
+
+
 SQL_KNN_TOP3 = f"""
 WITH dots AS (
   SELECT doc_id, 1 AS site_id, {_KNN_SQL_DOTS[0]} AS dot FROM documents
@@ -989,6 +1002,7 @@ def queries() -> dict:
         "pip_anti_count": q_pip_anti_count,
         "pip_labels": q_pip_labels,
         "knn_top3": q_knn_top3,
+        "knn_bucketed": q_knn_bucketed,
         "filter_revenue": q_filter_revenue,
         "pricing_summary": q_pricing_summary,
         "weighted_avg_price": q_weighted_avg_price,
@@ -1034,6 +1048,7 @@ def oracle_sql() -> dict:
         "pip_anti_count": SQL_PIP_ANTI_COUNT,
         "pip_labels": SQL_PIP_LABELS,
         "knn_top3": SQL_KNN_TOP3,
+        "knn_bucketed": SQL_KNN_TOP3,
         "filter_revenue": SQL_FILTER_REVENUE,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "weighted_avg_price": SQL_WEIGHTED_AVG_PRICE,

@@ -267,3 +267,66 @@ class TestKnnSharded:
                                       want.site_id.to_numpy())
         np.testing.assert_allclose(got.dist_m.to_numpy(),
                                    want.dist_m.to_numpy(), rtol=1e-9)
+
+    def test_bucketed_equals_broadcast(self, ray_session):
+        """knn_join_bucketed (cell-prefiltered probe + cap-bound verify
+        + brute fallback) is EXACT: equals knn_join on the same data."""
+        import pandas as pd
+        import ray.data as rd
+        from raster_processor_ray.geo.hashing import splitmix64
+        from raster_processor_ray.stages.knn import knn_join, knn_join_bucketed
+
+        ns, npts = 600, 900
+        sid = np.arange(ns, dtype=np.int64)
+        h = splitmix64(sid.astype(np.uint64))
+        slat = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32 * 176 - 88
+        slon = (h >> np.uint64(32)).astype(np.float64) / 2**32 * 360 - 180
+        pid = np.arange(npts, dtype=np.int64)
+        hp = splitmix64(pid.astype(np.uint64) + np.uint64(7))
+        plat = (hp & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32 * 176 - 88
+        plon = (hp >> np.uint64(32)).astype(np.float64) / 2**32 * 360 - 180
+        pts = rd.from_pandas(pd.DataFrame(
+            {"pid": pid, "lat": plat, "lon": plon})).repartition(3)
+
+        want = knn_join(pts, sid, slat, slon, k=3).to_pandas() \
+            .sort_values(["pid", "knn_rank"]).reset_index(drop=True)
+        got = knn_join_bucketed(pts, sid, slat, slon, k=3).to_pandas() \
+            .sort_values(["pid", "knn_rank"]).reset_index(drop=True)
+        np.testing.assert_array_equal(got.site_id.to_numpy(),
+                                      want.site_id.to_numpy())
+        # dists agree to ~ULP of the dot product; arccos amplifies one
+        # ULP near dot=1 to sqrt(2*eps)*R ~ 0.13 m (einsum vs matmul
+        # kernels round differently), hence the sub-meter atol
+        np.testing.assert_allclose(got.dist_m.to_numpy(),
+                                   want.dist_m.to_numpy(),
+                                   rtol=1e-9, atol=0.2)
+
+    def test_grid_index_exact_sweep(self):
+        """KnnGridIndex == KnnIndex across polar, antimeridian, sparse
+        and forced-bad cell-size configs (fallback path exercised)."""
+        from raster_processor_ray.stages.knn import KnnIndex, KnnGridIndex
+
+        rng = np.random.RandomState(0)
+        cases = [
+            (400, 1500, (-60, 60), None, 1),
+            (200, 800, (-89.9, 89.9), None, 1),     # polar caps
+            (300, 1200, (40, 50), None, 1),
+            (3, 500, (-60, 60), None, 1),           # fewer sites than k
+            (300, 800, (-30, 30), 60.0, 1),         # side >= nx wrap-dedupe
+            (300, 800, (-60, 60), 0.5, 1),          # forced-sparse: all fallback
+        ]
+        for trial, (ns, npts, latr, cd, pr) in enumerate(cases):
+            sid = np.arange(ns, dtype=np.int64)
+            slat = rng.uniform(*latr, ns)
+            slon = rng.uniform(-180, 180, ns)
+            plat = rng.uniform(*latr, npts)
+            plon = rng.uniform(-180, 180, npts)
+            bi = KnnIndex(sid, slat, slon)
+            gi = KnnGridIndex(sid, slat, slon, cell_deg=cd, probe_ring=pr)
+            for k in (1, 3, 8):
+                i1, d1 = bi.query(plat, plon, k)
+                i2, d2 = gi.query(plat, plon, k)
+                np.testing.assert_array_equal(
+                    bi.site_ids[i1], gi.site_ids[i2],
+                    err_msg=f"trial {trial} k={k}")
+                np.testing.assert_allclose(d1, d2, err_msg=f"trial {trial} k={k}")
