@@ -65,9 +65,23 @@ def _key_bucket(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarr
                 v += 0.0                       # -0.0 -> 0.0
                 v[np.isnan(v)] = np.nan        # canonical NaN payload
                 hk = splitmix64(v.view(np.uint64))
+            elif (pd.api.types.is_datetime64_dtype(col)
+                  or pd.api.types.is_timedelta64_dtype(col)):
+                hk = splitmix64(col.to_numpy().view(np.int64).astype(np.uint64))
             else:
-                hk = fnv1a_64(pa.array(col.astype(str).to_numpy(dtype=object),
-                                       type=pa.string()))
+                try:
+                    arr = pa.Array.from_pandas(col)
+                    if not (pa.types.is_string(arr.type)
+                            or pa.types.is_large_string(arr.type)
+                            or pa.types.is_binary(arr.type)
+                            or pa.types.is_large_binary(arr.type)):
+                        arr = arr.cast(pa.string())
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                        pa.ArrowTypeError):
+                    # last resort for exotic object columns (tuples, mixed)
+                    arr = pa.array(col.astype(str).to_numpy(dtype=object),
+                                   type=pa.string())
+                hk = fnv1a_64(arr)
             h = splitmix64(h ^ hk)
     return (h % np.uint64(num_buckets)).astype(np.int64)
 

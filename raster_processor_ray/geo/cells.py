@@ -19,6 +19,26 @@ Three key schemes, all pure NumPy (no shapely/h3/GDAL in this environment):
 A fourth scheme, ``floor_cell``, is the SQL-expressible variant used by the
 DuckDB-oracle-checked queries (DuckDB ``round()`` is half-away-from-zero,
 NumPy is half-to-even; ``floor`` agrees bit-for-bit in both engines).
+
+INTEROPERABILITY WARNING — these ids are ENGINE-INTERNAL, not exchangeable
+with public S2/H3 tooling:
+
+* ``s2ish_cell_id`` follows the public S2 *construction* (face, quadratic
+  s/t projection, Hilbert curve) and its bit layout is
+  ``[face:3][hilbert_pos:2L][1][trailing zeros]`` (MSB-first, level-L id =
+  64-bit value with the marker bit after ``2L`` position bits), but the
+  Hilbert orientation tables were re-derived from the spec and are NOT
+  verified bit-for-bit against the reference S2 library. Ids are stable
+  and hierarchical WITHIN this engine (prefix-nesting and range scans
+  hold); do not feed them to s2geometry/BigQuery S2 functions or compare
+  them with ids minted elsewhere.
+* ``h3ish_cell_id`` is an axial hex binning on the equirectangular plane
+  packed as ``((q + 2^20) << 21) | (r + 2^20)`` — an H3-*like* scheme at
+  ~res-7 scale, with none of H3's icosahedral faces, pentagons, or id
+  layout. It shares nothing with real H3 ids.
+
+Cross-system workflows should export lat/lon (or the grid's
+``iy``/``ix``) and re-encode with the target library.
 """
 
 from __future__ import annotations

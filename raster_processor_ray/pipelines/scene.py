@@ -32,7 +32,9 @@ def merge_scene_metadata(ds, *, ts_col: str = "ts", lat_col: str = "lat",
                          lon_col: str = "lon") -> dict:
     """Scene-level scalar attributes: time + geospatial coverage bounds
     (the reference's attribute min/max merge, products.py:1901-1992).
-    Per-batch partials -> tiny driver reduce; never a full collect."""
+    Per-batch partials -> distributed fold (<=8192 partial rows per
+    task) -> driver reduce over <= n_blocks/8192 rows; never a full
+    collect, and driver memory stays bounded at any block count."""
 
     def part(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -48,7 +50,20 @@ def merge_scene_metadata(ds, *, ts_col: str = "ts", lat_col: str = "lat",
         return pa.table({"t0": [t0], "t1": [t1], "lat0": [la0], "lat1": [la1],
                          "lon0": [lo0], "lon1": [lo1], "n": [b.num_rows]})
 
-    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    def fold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "t0": [pc.min(b["t0"]).as_py()], "t1": [pc.max(b["t1"]).as_py()],
+            "lat0": [pc.min(b["lat0"]).as_py()],
+            "lat1": [pc.max(b["lat1"]).as_py()],
+            "lon0": [pc.min(b["lon0"]).as_py()],
+            "lon1": [pc.max(b["lon1"]).as_py()],
+            "n": [pc.sum(b["n"]).as_py()]})
+
+    p = (ds.map_batches(part, batch_format="pyarrow")
+         .map_batches(fold, batch_format="pyarrow", batch_size=8192)
+         .to_pandas())
     return {
         "time_coverage_start": p.t0.min(), "time_coverage_end": p.t1.max(),
         "geospatial_lat_min": p.lat0.min(), "geospatial_lat_max": p.lat1.max(),

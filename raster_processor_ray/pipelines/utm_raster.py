@@ -33,8 +33,10 @@ from ..geo.cells import GridSpec, bin_to_grid, grid_cell_key
 
 
 def _minmax_scan(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
-    """Streaming min/max of ``cols``: per-batch partials, tiny driver
-    combine (no full materialization)."""
+    """Streaming min/max of ``cols``: per-batch partials, a distributed
+    fold pass collapsing up to 8192 partial rows per task, then a driver
+    combine over <= n_blocks/8192 rows — driver memory stays bounded even
+    at 10^6 input blocks (one partial row per input block)."""
 
     def partial(b: pa.Table) -> pa.Table:
         out = {}
@@ -45,7 +47,16 @@ def _minmax_scan(ds, cols: list[str]) -> dict[str, tuple[float, float]]:
             out[f"{c}_max"] = [v.max() if len(v) else -np.inf]
         return pa.table(out)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def fold(b: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            out[f"{c}_min"] = [np.asarray(b[f"{c}_min"]).min()]
+            out[f"{c}_max"] = [np.asarray(b[f"{c}_max"]).max()]
+        return pa.table(out)
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pyarrow", batch_size=8192)
+             .to_pandas())
     return {c: (float(parts[f"{c}_min"].min()), float(parts[f"{c}_max"].max()))
             for c in cols}
 

@@ -26,25 +26,40 @@ from ..geo.hashing import fnv1a_64, splitmix64
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, key: str, order_by: str | list[str] | None = None, *,
-                num_buckets: int = 64):
+                num_buckets: int = 64, pre_dedup: bool = True):
     """Keep exactly one row per ``key``: the one with the smallest
     ``order_by`` value(s) (pass a list for deterministic tie-breaks);
     without ``order_by``, the first row in (key)-sorted order wins.
 
     Implementation: bucket by ``hash(key) % B`` so the shuffle groups by
     bucket (vectorized pandas keep-first inside each bucket, one Python
-    call per bucket — not per key).
+    call per bucket — not per key). Keep-first-by-(key, order_by) is
+    ASSOCIATIVE, so a map-side local pass (``pre_dedup``, Arrow
+    sort_indices + first-occurrence mask, fused with the read) drops
+    within-batch duplicates BEFORE the shuffle — on duplicate-heavy
+    corpora the exchange ships ~unique keys per batch, not raw rows.
     """
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        h = fnv1a_64(b[key].cast(pa.string()))
-        return b.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+    import pyarrow.compute as pc
 
     if order_by is None:
         order_by = []
     elif isinstance(order_by, str):
         order_by = [order_by]
     sort_cols = [key] + order_by
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        if pre_dedup and b.num_rows > 1:
+            idx = pc.sort_indices(
+                b, sort_keys=[(c, "ascending") for c in sort_cols])
+            kb = b[key].take(idx).combine_chunks()
+            keep = np.ones(len(kb), dtype=bool)
+            # nulls compare to null -> fill True: keep all null-keyed rows
+            # locally; the reduce side dedups them
+            keep[1:] = np.asarray(pc.fill_null(
+                pc.not_equal(kb.slice(1), kb.slice(0, len(kb) - 1)), True))
+            b = b.take(idx.filter(pa.array(keep)))
+        h = fnv1a_64(b[key].cast(pa.string()))
+        return b.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
     def first_per_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["_bucket"]).sort_values(sort_cols, kind="mergesort")

@@ -20,6 +20,23 @@ import pyarrow as pa
 from ..geo.hashing import splitmix64
 
 
+# --- decoder drop-in contract -------------------------------------------
+# A REAL decoder replacing the stubs must append exactly these columns
+# with these Arrow types (input columns pass through untouched). The
+# stubs are pinned against this in tests/test_docs_stages.py
+# (TestMedia::test_schema_contract), so a codec drop-in that drifts from
+# the contract fails the suite, not production.
+DECODE_IMAGE_FEATURE_DIM = 16
+DECODE_IMAGE_APPENDED_SCHEMA = pa.schema([
+    ("img_width", pa.int64()),
+    ("img_height", pa.int64()),
+    ("img_features", pa.list_(pa.float32(), DECODE_IMAGE_FEATURE_DIM)),
+])
+FRAME_SAMPLE_APPENDED_SCHEMA = pa.schema([
+    ("frame_no", pa.int64()),
+])
+
+
 class DecodeImageStub:
     """'Decode' an image binary column -> (width, height, mode) metadata +
     a fixed-size feature vector.
@@ -29,7 +46,7 @@ class DecodeImageStub:
     derived from the payload bytes so downstream stages are testable.
     """
 
-    FEATURE_DIM = 16
+    FEATURE_DIM = DECODE_IMAGE_FEATURE_DIM
 
     def __init__(self, binary_col: str = "payload", strict: bool = False):
         self.binary_col = binary_col

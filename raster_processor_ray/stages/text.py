@@ -247,19 +247,90 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("n_bpe_tokens", pa.array(bpe))
 
 
+def _trim_utf8_window(data: np.ndarray, start: np.ndarray,
+                      stop: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized equivalent of ``bytes.decode('utf-8','ignore')`` +
+    re-encode for windows sliced out of VALID utf-8: drop up to 3
+    leading continuation bytes and a trailing incomplete sequence."""
+    n_data = len(data)
+    if n_data == 0:
+        return start, stop
+    safe = lambda i: data[np.clip(i, 0, n_data - 1)]
+    for _ in range(3):  # a window can start mid-char: <=3 continuations
+        adv = (start < stop) & ((safe(start) & 0xC0) == 0x80)
+        if not adv.any():
+            break
+        start = start + adv
+    # walk back from the last byte to the last starter (<=3 steps)
+    pos = stop - 1
+    for _ in range(3):
+        back = (pos > start) & ((safe(pos) & 0xC0) == 0x80)
+        if not back.any():
+            break
+        pos = pos - back
+    lead = safe(pos)
+    seqlen = np.where(lead < 0x80, 1,
+                      np.where(lead < 0xE0, 2, np.where(lead < 0xF0, 3, 4)))
+    incomplete = (pos >= start) & (pos + seqlen > stop)
+    stop = np.where(incomplete, pos, stop)
+    return start, np.maximum(stop, start)
+
+
+def _fnv_windows(data: np.ndarray, start: np.ndarray, stop: np.ndarray,
+                 max_len: int) -> np.ndarray:
+    """FNV-1a over ``data[start:stop]`` per row — one vectorized pass per
+    byte POSITION (<= max_len), never per row."""
+    from ..geo.hashing import FNV_OFFSET, FNV_PRIME
+
+    h = np.full(len(start), FNV_OFFSET, dtype=np.uint64)
+    if len(data) == 0:
+        return h
+    with np.errstate(over="ignore"):
+        for p in range(max_len):
+            idx = start + p
+            active = idx < stop
+            if not active.any():
+                break
+            b = data[idx[active]].astype(np.uint64)
+            h[active] = (h[active] ^ b) * FNV_PRIME
+    return h
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit whole-document fingerprint (FNV-1a over utf-8 bytes) +
-    a 16-byte rolling-hash sketch (first/mid/last window hashes)."""
-    t = batch[text_col]
-    fp = fnv1a_64(t.cast(pa.string()))
-    texts = [s or "" for s in t.to_pylist()]
-    windows = []
-    for s in texts:
-        b = s.encode("utf-8")
-        k = len(b)
-        parts = [b[:64], b[max(0, k // 2 - 32):k // 2 + 32], b[-64:]]
-        windows.append(b"".join(
-            int(fnv1a_64([p.decode("utf-8", "ignore")])[0]).to_bytes(8, "little")
-            for p in parts)[:16])
+    a 16-byte sketch: FNV hashes of the first and middle 64-byte
+    windows, little-endian-concatenated (the historical first/mid/last
+    triple was always truncated to 16 bytes = first+mid; kept as-is).
+
+    Fully vectorized: windows are (start, stop) index pairs into the
+    Arrow string buffer, edge-trimmed to whole utf-8 sequences
+    (byte-identical to the old per-row ``decode('utf-8','ignore')``
+    round-trip, pinned by the golden test), hashed with one
+    byte-position loop across all rows x windows.
+    """
+    from ..geo.hashing import _string_bytes_and_offsets
+
+    t = batch[text_col].cast(pa.string())
+    fp = fnv1a_64(t)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    data, offsets = _string_bytes_and_offsets(pc.fill_null(t, ""))
+    s0, s1 = offsets[:-1], offsets[1:]
+    k = s1 - s0
+    # first window [0:64); mid window [k//2-32 : k//2+32), clamped
+    w_start = np.concatenate([s0, s0 + np.maximum(k // 2 - 32, 0)])
+    w_stop = np.concatenate([np.minimum(s0 + 64, s1),
+                             np.minimum(s0 + k // 2 + 32, s1)])
+    w_start, w_stop = _trim_utf8_window(data, w_start, w_stop)
+    h = _fnv_windows(data, w_start, w_stop, 64)
+    n = len(k)
+    sketch = np.empty((n, 2), dtype="<u8")
+    sketch[:, 0] = h[:n]
+    sketch[:, 1] = h[n:]
+    flat = sketch.view(np.uint8).reshape(-1)
+    boff = np.arange(n + 1, dtype=np.int32) * 16
+    sk_arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(boff.tobytes()), pa.py_buffer(flat.tobytes())])
     out = batch.append_column("fingerprint", pa.array(fp.astype(np.int64)))
-    return out.append_column("fp_sketch", pa.array(windows, type=pa.binary()))
+    return out.append_column("fp_sketch", sk_arr)

@@ -35,6 +35,25 @@ class TestExactDedup:
         out = dedup.exact_dedup(rd.from_pandas(df), "k").to_pandas()
         assert sorted(out.k) == ["a", "b"]
 
+    def test_map_side_pre_dedup_duplicate_heavy(self, ray_session):
+        """10^4 copies of a handful of keys: the local keep-first pass and
+        the no-pre-dedup path agree with the pandas oracle exactly; null
+        keys survive the local pass and dedup to one row."""
+        n = 10_000
+        rng = np.random.RandomState(5)
+        keys = np.array(["u", "v", "w", "x"], dtype=object)[rng.randint(0, 4, n)]
+        keys[::97] = None
+        df = pd.DataFrame({"k": keys, "ts": rng.permutation(n),
+                           "v": np.arange(n)})
+        want = (df.sort_values(["k", "ts"]).drop_duplicates("k")
+                .sort_values("k").reset_index(drop=True))
+        for pre in (True, False):
+            out = dedup.exact_dedup(rd.from_pandas(df).repartition(6),
+                                    "k", "ts", pre_dedup=pre) \
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            pd.testing.assert_frame_equal(out[["k", "ts", "v"]],
+                                          want[["k", "ts", "v"]])
+
 
 class TestMinHash:
     def test_signature_properties(self):
@@ -264,6 +283,33 @@ class TestText:
                          for s in texts], dtype=np.int64)
         np.testing.assert_array_equal(np.asarray(tbl["n_bpe_tokens"]), want)
 
+    def test_fingerprint_sketch_vs_row_loop(self, docs):
+        """Golden: vectorized window sketch == the historical per-row
+        slice->decode('utf-8','ignore')->FNV round-trip, including
+        multibyte chars split at window edges."""
+        from raster_processor_ray.geo.hashing import fnv1a_64
+
+        def row_loop_sketch(s):
+            b = (s or "").encode("utf-8")
+            k = len(b)
+            parts = [b[:64], b[max(0, k // 2 - 32):k // 2 + 32], b[-64:]]
+            return b"".join(
+                int(fnv1a_64([p.decode("utf-8", "ignore")])[0])
+                .to_bytes(8, "little") for p in parts)[:16]
+
+        edge = pa.table({"doc_id": pa.array(range(10), type=pa.int64()),
+                         "text": pa.array([
+                             "", "a", "x" * 63, "y" * 64, "z" * 65,
+                             "é" * 40,            # 2-byte chars split at 64/80
+                             "€" * 30,            # 3-byte chars
+                             "🙂" * 20,           # 4-byte chars
+                             "abc" + "中" * 50 + "xyz",
+                             None])})
+        for tbl in (docs.slice(0, 200), edge):
+            got = text.fingerprint_batch(tbl)["fp_sketch"].to_pylist()
+            want = [row_loop_sketch(s) for s in tbl["text"].to_pylist()]
+            assert got == want
+
     def test_fingerprint_deterministic(self, docs):
         a = text.fingerprint_batch(docs.slice(0, 50))
         b = text.fingerprint_batch(docs.slice(0, 50))
@@ -320,6 +366,26 @@ class TestMedia:
         assert {"img_width", "img_height", "img_features"} <= set(out.columns)
         assert len(out) == 19
         assert all(len(f) == media.DecodeImageStub.FEATURE_DIM for f in out.img_features)
+
+    def test_schema_contract(self):
+        """The stub's APPENDED columns match the documented real-decoder
+        contract schemas exactly (names, order, Arrow types) — a codec
+        drop-in that drifts from the contract fails here."""
+        src = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                        "payload": pa.array([b"ab", b"cdef"], type=pa.binary())})
+        dec = media.DecodeImageStub()(src)
+        appended = pa.schema(
+            [dec.schema.field(i) for i in range(src.num_columns,
+                                                dec.num_columns)])
+        assert appended.equals(media.DECODE_IMAGE_APPENDED_SCHEMA)
+        # input columns pass through untouched
+        assert dec.select(src.column_names).equals(src)
+
+        fr = media.FrameSampleStub()(src)
+        appended = pa.schema(
+            [fr.schema.field(i) for i in range(src.num_columns,
+                                               fr.num_columns)])
+        assert appended.equals(media.FRAME_SAMPLE_APPENDED_SCHEMA)
 
     def test_strict_raises(self):
         stub = media.DecodeImageStub(strict=True)
