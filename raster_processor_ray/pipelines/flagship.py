@@ -25,7 +25,7 @@ import pyarrow as pa
 from ..aggregate.rasterize import (combine_partials_df, finalize_cells,
                                    partial_aggregate_batch, rasterize)
 from ..config import AggConfig, DEFAULT_AGG
-from ..geo.cells import GridSpec
+from ..geo.cells import GridSpec, grid_tile_id
 from ..stages.geotag import GLOBAL_GEO_GRID, geotag_and_cell_encode
 from ..state import lineage
 
@@ -313,10 +313,10 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
            ... fused with BOTH map-side partial families (rasterize
            partials + per-(cell, site) zonal counts) in the SAME pass —
            the full enriched page stream is never materialized
-        -> ONE combined shuffle keyed on grid_cell bucket
-        -> per-bucket combine + finalize (cells + dominant-site argmax)
-        -> the finalized cells (bounded by grid size, not page count) are
-           pinned once and written to both resumable outputs
+        -> ONE combined shuffle keyed on OUTPUT SHARD (tile % num_shards)
+        -> per-shard combine + finalize (cells + dominant-site argmax)
+           + BOTH resumable shard writes inside the same group task —
+           no post-finalize exchange or materialize barrier exists
 
     Returns (tiles_manifest, zonal_manifest).
     """
@@ -375,9 +375,39 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
             pa.array(uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))))
         out = out.append_column("site_cnts", pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(cnt.astype(np.int64))))
-        return out.append_column("_bucket", pa.array(p_cells % num_buckets))
+        # shuffle key = OUTPUT SHARD (tile % num_shards): one all-to-all
+        # carries the stream from partials to finished files. Tiles bound
+        # cells (tile_size^2 each), so shard sizes stay balanced.
+        p_tiles = grid_tile_id(grid, p_cells // grid.size_x,
+                               p_cells % grid.size_x)
+        out = out.append_column("_bucket", pa.array(p_tiles % num_buckets))
+        if len(done_arr):
+            # resume: partials for already-written shards never enter
+            # the shuffle (enrichment for them still runs — the page
+            # stream can't know its tile before geotag)
+            out = out.filter(
+                pa.array(~np.isin(p_tiles % num_buckets, done_arr)))
+        return out
 
-    def combine_and_finalize(t: pa.Table) -> pa.Table:
+    # ONE all-to-all end-game: the shuffle key is tile % num_shards (not
+    # raw cell % B), so each combine group IS an output shard — finalize
+    # and BOTH resumable writes run inside the same task that owns the
+    # group. This removes the two post-finalize write shuffles and the
+    # cells materialize barrier that were a non-scaling wall-time
+    # constant (they cost the same ~seconds at every CPU count). Shard
+    # assignment for tiles is unchanged (tile_id % num_shards); the
+    # zonal output is now sharded by TILE of the cell rather than raw
+    # cell id — layout only, the data is identical.
+    tiles_dir = os.path.join(out_dir, "tiles")
+    zonal_dir = os.path.join(out_dir, "dominant_site")
+    done = (lineage.prepare_resumable(tiles_dir, key_col="tile_id",
+                                      num_shards=num_out_shards)
+            & lineage.prepare_resumable(zonal_dir, key_col="grid_cell",
+                                        num_shards=num_out_shards))
+    done_arr = np.array(sorted(done), dtype=np.int64)
+
+    def combine_finalize_write(t: pa.Table) -> pa.Table:
+        shard = int(np.asarray(t["_bucket"])[0])
         raster = t.drop_columns(["_bucket", "site_ids", "site_cnts"])
         combined = combine_partials_df(raster.to_pandas(), cfg)
         fin = finalize_cells(
@@ -400,7 +430,21 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                             "mode_label": usites[sel],
                             "mode_count": sums[sel].astype(np.int64)})
         fin = fin.merge(top, on="grid_cell", how="left", sort=False)
-        return pa.Table.from_pandas(fin, preserve_index=False)
+        tm = lineage.write_shard_table(fin, tiles_dir, shard,
+                                       key_col="tile_id",
+                                       sort_cols=["tile_id", "iy", "ix"])
+        zm = lineage.write_shard_table(
+            fin[["grid_cell", "mode_label", "mode_count"]], zonal_dir, shard,
+            key_col="grid_cell", sort_cols=["grid_cell"])
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int64()),
+            "tiles_rows": pa.array([tm["rows"]], type=pa.int64()),
+            "tiles_bytes": pa.array([tm["bytes"]], type=pa.int64()),
+            "tiles_key_hash": pa.array([tm["key_hash"]]),
+            "zonal_rows": pa.array([zm["rows"]], type=pa.int64()),
+            "zonal_bytes": pa.array([zm["bytes"]], type=pa.int64()),
+            "zonal_key_hash": pa.array([zm["key_hash"]]),
+        })
 
     from ..util import pin_for_shuffle
 
@@ -411,23 +455,22 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                        # across batches, so bigger batches combine more)
                        **({"concurrency": enrich_concurrency}
                           if enrich_concurrency else {})))
-    cells_final = (
-        partials_ds
-        .groupby("_bucket")
-        .map_groups(combine_and_finalize, batch_format="pyarrow")
-    )
-    # pin the FINALIZED cells (one row per grid cell — bounded by the grid,
-    # ~1e5 at bench res and ~1e8 at production res, vs 1e12 input pages)
-    # so the two writes don't recompute the pipeline
-    cells_final = cells_final.materialize()
-
-    tiles_manifest = lineage.write_resumable(
-        cells_final, os.path.join(out_dir, "tiles"), key_col="tile_id",
-        num_shards=num_out_shards, sort_cols=["tile_id", "iy", "ix"])
-    zonal = cells_final.select_columns(["grid_cell", "mode_label", "mode_count"])
-    zonal_manifest = lineage.write_resumable(
-        zonal, os.path.join(out_dir, "dominant_site"), key_col="grid_cell",
-        num_shards=num_out_shards, sort_cols=["grid_cell"])
+    m = (partials_ds
+         .groupby("_bucket")
+         .map_groups(combine_finalize_write, batch_format="pyarrow")
+         .to_pandas())
+    lineage.complete_run(tiles_dir, key_col="tile_id",
+                         num_shards=num_out_shards)
+    lineage.complete_run(zonal_dir, key_col="grid_cell",
+                         num_shards=num_out_shards)
+    tiles_manifest = m[["shard", "tiles_rows", "tiles_bytes",
+                        "tiles_key_hash"]].rename(columns={
+        "tiles_rows": "rows", "tiles_bytes": "bytes",
+        "tiles_key_hash": "key_hash"})
+    zonal_manifest = m[["shard", "zonal_rows", "zonal_bytes",
+                        "zonal_key_hash"]].rename(columns={
+        "zonal_rows": "rows", "zonal_bytes": "bytes",
+        "zonal_key_hash": "key_hash"})
     return tiles_manifest, zonal_manifest
 
 

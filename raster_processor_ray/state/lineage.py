@@ -139,19 +139,16 @@ def finished_shards(out_dir: str) -> set[int]:
     return done
 
 
-def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
-                    sort_cols: list[str] | None = None,
-                    shard_col: str = "out_shard",
-                    input_fingerprint: str | None = None) -> pd.DataFrame:
-    """Write ``ds`` partitioned by bounded shard with lineage manifests;
-    skips shards already finished (resume) and records a RUN-level
-    manifest marking completion. Returns the manifest table.
+def prepare_resumable(out_dir: str, *, key_col: str, num_shards: int,
+                      input_fingerprint: str | None = None) -> set[int]:
+    """Validate/initialize a resumable output dir and return the set of
+    already-finished shard ids that may be SKIPPED.
 
-    Each shard is written by the task that owns its group (atomic tmp ->
-    rename), so retries and reruns are idempotent. Existing shards are
-    reused ONLY when the run manifest matches (same stage version, shard
-    count and input fingerprint); a stale or mismatched output dir is
-    cleared first — a shard from a different input must never survive.
+    Existing shards are reused ONLY when the run manifest matches (same
+    stage version, shard count, key column and input fingerprint); a
+    stale or mismatched output dir is cleared first — a shard from a
+    different input must never survive. Marks the run incomplete until
+    :func:`complete_run`.
     """
     os.makedirs(out_dir, exist_ok=True)
     prev = read_run_manifest(out_dir)
@@ -170,7 +167,64 @@ def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
         "complete": False, "num_shards": num_shards, "key_col": key_col,
         "input_fingerprint": input_fingerprint, "stage_version": STAGE_VERSION,
     })
-    done = finished_shards(out_dir)
+    return finished_shards(out_dir)
+
+
+def complete_run(out_dir: str, *, key_col: str, num_shards: int,
+                 input_fingerprint: str | None = None) -> None:
+    """Mark a resumable output dir complete (all shards written)."""
+    _write_run_manifest(out_dir, {
+        "complete": True, "num_shards": num_shards, "key_col": key_col,
+        "input_fingerprint": input_fingerprint, "stage_version": STAGE_VERSION,
+    })
+
+
+def write_shard_table(df: pd.DataFrame, out_dir: str, shard: int, *,
+                      key_col: str, sort_cols: list[str] | None = None) -> dict:
+    """Write one shard's rows + manifest (atomic tmp -> rename,
+    idempotent under retries). Returns the shard manifest dict."""
+    if sort_cols:
+        df = df.sort_values(sort_cols, kind="mergesort")
+    sdir = _shard_dir(out_dir, shard)
+    os.makedirs(sdir, exist_ok=True)
+    tmp = os.path.join(sdir, "data.parquet.tmp")
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pq.write_table(table, tmp)
+    # content hash over the key column (cheap, order-independent rows check)
+    keys = np.sort(df[key_col].to_numpy(dtype=np.int64))
+    khash = hashlib.sha256(keys.tobytes()).hexdigest()[:16]
+    manifest = {
+        "shard": shard,
+        "rows": int(len(df)),
+        "bytes": int(os.path.getsize(tmp)),
+        "key_col": key_col,
+        "key_min": int(keys[0]) if len(keys) else None,
+        "key_max": int(keys[-1]) if len(keys) else None,
+        "key_hash": khash,
+        "stage_version": STAGE_VERSION,
+    }
+    os.replace(tmp, os.path.join(sdir, "data.parquet"))
+    mtmp = os.path.join(sdir, "MANIFEST.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, os.path.join(sdir, "MANIFEST.json"))
+    return manifest
+
+
+def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
+                    sort_cols: list[str] | None = None,
+                    shard_col: str = "out_shard",
+                    input_fingerprint: str | None = None) -> pd.DataFrame:
+    """Write ``ds`` partitioned by bounded shard with lineage manifests;
+    skips shards already finished (resume) and records a RUN-level
+    manifest marking completion. Returns the manifest table.
+
+    Each shard is written by the task that owns its group (atomic tmp ->
+    rename), so retries and reruns are idempotent; staleness/provenance
+    guards are in :func:`prepare_resumable`.
+    """
+    done = prepare_resumable(out_dir, key_col=key_col, num_shards=num_shards,
+                             input_fingerprint=input_fingerprint)
     ds = add_shard_column(ds, key_col, num_shards, shard_col)
     if done:
         done_arr = pa.array(sorted(done), type=pa.int64())

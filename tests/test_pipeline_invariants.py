@@ -83,3 +83,83 @@ class TestDedupGolden:
         merged = out.merge(base, on="url", suffixes=("", "_orig"))
         # survivor is the original (earlier ts), never the "[dup]" copy
         assert (merged.text == merged.text_orig).all()
+
+
+class TestFlagshipFullFused:
+    """run_flagship_full's single-shuffle end-game: combine+finalize+BOTH
+    resumable writes in one group task (shard == tile % num_shards)."""
+
+    @pytest.fixture(scope="class")
+    def full_out(self, tmp_path_factory, ray_session):
+        import pyarrow.parquet as pq
+
+        from raster_processor_ray.pipelines.flagship import run_flagship_full
+        from raster_processor_ray.sources.pages import write_pages_parquet
+
+        root = tmp_path_factory.mktemp("flagship_full")
+        in_dir, out_dir = str(root / "pages"), str(root / "out")
+        write_pages_parquet(in_dir, 20_000, rows_per_file=5_000,
+                            with_html=False)
+        tm, zm = run_flagship_full(in_dir, out_dir, num_out_shards=8,
+                                   read_blocks=4)
+        return in_dir, out_dir, tm, zm
+
+    def test_row_conservation_vs_independent_oracle(self, full_out):
+        import pyarrow.parquet as pq
+
+        from raster_processor_ray.geo import cells as C
+        from raster_processor_ray.pipelines.flagship import coverage_polygons
+        from raster_processor_ray.sources.pages import pages_geotag
+        from raster_processor_ray.stages.geotag import GLOBAL_GEO_GRID
+        from raster_processor_ray.stages.pip import PolygonIndex
+        from raster_processor_ray.state.lineage import read_resumable
+
+        in_dir, out_dir, tm, zm = full_out
+        tiles = read_resumable(f"{out_dir}/tiles").to_pandas()
+        zonal = read_resumable(f"{out_dir}/dominant_site").to_pandas()
+        lat, lon = pages_geotag(pq.read_table(in_dir, columns=["url"])["url"])
+        _, _, ok = C.bin_to_grid(GLOBAL_GEO_GRID, lon, lat)
+        expected = int((PolygonIndex(coverage_polygons())
+                        .contains_any(lat, lon) & ok).sum())
+        assert int(tiles.n_pix.sum()) == expected
+        assert len(zonal) == len(tiles)
+        assert tm.rows.sum() == len(tiles) and zm.rows.sum() == len(zonal)
+
+    def test_shard_is_tile_mod_num_shards(self, full_out):
+        import os
+
+        import pyarrow.parquet as pq
+
+        _, out_dir, _, _ = full_out
+        for sd in os.listdir(f"{out_dir}/tiles"):
+            if not sd.startswith("shard="):
+                continue
+            s = int(sd.split("=")[1])
+            t = pq.read_table(f"{out_dir}/tiles/{sd}/data.parquet")
+            assert (np.asarray(t["tile_id"]) % 8 == s).all()
+
+    def test_resume_rewrites_only_missing_shard(self, full_out):
+        import os
+        import shutil
+        import time
+
+        from raster_processor_ray.pipelines.flagship import run_flagship_full
+        from raster_processor_ray.state.lineage import read_resumable
+
+        in_dir, out_dir, _, _ = full_out
+        before = read_resumable(f"{out_dir}/tiles").to_pandas() \
+            .sort_values(["tile_id", "iy", "ix"]).reset_index(drop=True)
+        shards = sorted(d for d in os.listdir(f"{out_dir}/tiles")
+                        if d.startswith("shard="))
+        victim = shards[1]
+        mt = {d: os.path.getmtime(f"{out_dir}/tiles/{d}")
+              for d in shards if d != victim}
+        shutil.rmtree(f"{out_dir}/tiles/{victim}")
+        shutil.rmtree(f"{out_dir}/dominant_site/{victim}")
+        time.sleep(1.1)
+        run_flagship_full(in_dir, out_dir, num_out_shards=8, read_blocks=4)
+        for d, m in mt.items():
+            assert os.path.getmtime(f"{out_dir}/tiles/{d}") == m, d
+        after = read_resumable(f"{out_dir}/tiles").to_pandas() \
+            .sort_values(["tile_id", "iy", "ix"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
