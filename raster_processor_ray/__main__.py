@@ -58,6 +58,13 @@ def main(argv=None):
     _grid_args(s)
     s.add_argument("--labels", required=True,
                    help="comma-separated region label columns")
+    s = sub.add_parser("report")
+    s.add_argument("proc", help="processed raster (resumable dir or parquet)")
+    s.add_argument("truth", help="truth raster (resumable dir or parquet)")
+    s.add_argument("out_dir")
+    _grid_args(s)
+    s.add_argument("--value-col", default="wmean_value")
+    s.add_argument("--uncert-col", default="wmean_uncert")
     args = p.parse_args(argv)
 
     import ray
@@ -127,6 +134,25 @@ def main(argv=None):
                                  args.labels.split(","),
                                  num_shards=args.shards)
             print(json.dumps({"tiles": int(m.rows.sum()), "shards": len(m)}))
+        elif args.cmd == "report":
+            import os
+
+            from .aggregate.report import raster_report
+
+            def load(path):
+                if os.path.isdir(path) and any(
+                        d.startswith("shard=") for d in os.listdir(path)):
+                    return lineage.read_resumable(path)
+                return rd.read_parquet(path)
+
+            rep = raster_report(load(args.proc), load(args.truth), grid,
+                                args.out_dir, value_col=args.value_col,
+                                uncert_col=args.uncert_col)
+            print(json.dumps({"global": {
+                k: (v if isinstance(v, (str, int)) else float(v))
+                for k, v in rep["global"].items()},
+                "tiles": len(rep["tile_table"]),
+                "paths": rep["paths"]}))
         elif args.cmd == "geoloc":
             from .pipelines.geoloc import (geoloc_refined_rasterize,
                                            synth_nadir_track)

@@ -993,6 +993,116 @@ def q_flagship_tiles(sf_dir: str):
     return rasterize_pages(pages)
 
 
+def q_tile_error_report(sf_dir: str):
+    """Report layer (plot_raster_stats.py:334-527 print_metrics content):
+    proc-vs-truth per-cell rasters -> per-TILE error metrics (mean /
+    population std / |e|_68 / median, raw + uncertainty-normalized) +
+    pass/fail verdict from the analysis/metrics.py:20-26 bounds.
+
+    Fixture semantics (needs many samples per cell, so it runs over
+    lineitem at 15-degree cells): truth = per-cell mean of
+    l_extendedprice/20000 over ALL lines; proc = the same mean over
+    lines with l_orderkey % 3 != 0 (a 1/3 "processing loss"), with
+    uncert = std_pop/sqrt(n) of the proc sample. Cells with no proc
+    rows or zero uncert are excluded (the reference's common-valid
+    mask). Tile = 3x3 blocks of cells (45-degree)."""
+    from ..aggregate.report import group_error_metrics
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["l_orderkey"]).astype(np.int64)
+        lines = np.asarray(b["l_linenumber"]).astype(np.int64)
+        lat, lon = geotag_from_int(ids, salt=lines)
+        v = np.asarray(b["l_extendedprice"]).astype(np.float64) / 20000.0
+        p = (ids % 3 != 0)
+        return pa.table({
+            "cell": pa.array(floor_cell(lat, lon, 15.0)),
+            "v": pa.array(v),
+            "vp": pa.array(np.where(p, v, 0.0)),
+            "vp2": pa.array(np.where(p, v * v, 0.0)),
+            "np_": pa.array(p.astype(np.int64)),
+        })
+
+    agg = hash_aggregate(ds.map_batches(partials, batch_format="pyarrow"),
+                         "cell", {
+        "sum_all": ("v", "sum"), "n_all": ("v", "count"),
+        "sum_p": ("vp", "sum"), "sumsq_p": ("vp2", "sum"),
+        "n_p": ("np_", "sum"),
+    })
+
+    def errors(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.n_p > 0]
+        vp = df.sum_p / df.n_p
+        vt = df.sum_all / df.n_all
+        var = np.clip(df.sumsq_p / df.n_p - vp * vp, 0.0, None)
+        u = np.sqrt(var) / np.sqrt(df.n_p)
+        cell = df.cell.to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "tile_id": (cell // 24 // 3) * 8 + (cell % 24) // 3,
+            "error": vp - vt,
+            "norm_error": np.where(u > 0, (vp - vt) / np.where(u > 0, u, 1.0),
+                                   np.nan),
+        })
+        return out[u.to_numpy() > 0]
+
+    rep = group_error_metrics(
+        agg.map_batches(errors, batch_format="pandas"), "tile_id")
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("e_mean", "e_std", "abs_e_68_pct", "e_50_pct",
+                  "ne_mean", "ne_std", "abs_ne_68_pct", "ne_50_pct"):
+            df[c] = df[c].round(6) + 0.0  # +0.0: canonicalize -0.0
+        return df
+
+    return rep.map_batches(rnd, batch_format="pandas")
+
+
+LI_LAT = GEOTAG_INT_SQL_LAT.format(id="l_orderkey", salt="l_linenumber")
+LI_LON = GEOTAG_INT_SQL_LON.format(id="l_orderkey", salt="l_linenumber")
+LI_CELL15_SQL = floor_cell_sql(LI_LAT, LI_LON, 15.0)
+
+SQL_TILE_ERROR_REPORT = f"""
+WITH cellagg AS (
+  SELECT {LI_CELL15_SQL} AS cell,
+         avg(l_extendedprice / 20000.0) AS vt,
+         avg(CASE WHEN l_orderkey % 3 != 0
+             THEN l_extendedprice / 20000.0 END) AS vp,
+         stddev_pop(CASE WHEN l_orderkey % 3 != 0
+                    THEN l_extendedprice / 20000.0 END) AS sd,
+         count(CASE WHEN l_orderkey % 3 != 0 THEN 1 END) AS n_p
+  FROM lineitem GROUP BY 1
+), err AS (
+  SELECT (cell // 24 // 3) * 8 + ((cell % 24) // 3) AS tile_id,
+         vp - vt AS error,
+         (vp - vt) / (sd / sqrt(n_p)) AS norm_error
+  FROM cellagg WHERE n_p > 0 AND sd > 0
+), m AS (
+  SELECT tile_id, count(*) AS n_cells,
+         avg(error) AS me, stddev_pop(error) AS se,
+         quantile_cont(abs(error), 0.68) AS ae68,
+         quantile_cont(error, 0.5) AS e50,
+         avg(norm_error) AS mne, stddev_pop(norm_error) AS sne,
+         quantile_cont(abs(norm_error), 0.68) AS ane68,
+         quantile_cont(norm_error, 0.5) AS ne50
+  FROM err GROUP BY 1
+)
+SELECT tile_id, n_cells,
+       round(me, 6) + 0.0 AS e_mean, round(se, 6) + 0.0 AS e_std,
+       round(ae68, 6) + 0.0 AS abs_e_68_pct, round(e50, 6) + 0.0 AS e_50_pct,
+       round(mne, 6) + 0.0 AS ne_mean, round(sne, 6) + 0.0 AS ne_std,
+       round(ane68, 6) + 0.0 AS abs_ne_68_pct,
+       round(ne50, 6) + 0.0 AS ne_50_pct,
+       CASE GREATEST(
+         CASE WHEN ae68 < 0.10 THEN 0 WHEN ae68 < 1.0 THEN 1 ELSE 2 END,
+         CASE WHEN ane68 < 1.0 THEN 0 WHEN ane68 < 2.0 THEN 1 ELSE 2 END)
+       WHEN 0 THEN 'pass' WHEN 1 THEN 'conditional' ELSE 'fail'
+       END AS verdict
+FROM m
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -1037,6 +1147,7 @@ def queries() -> dict:
         "media_decode": q_media_decode,
         "quality": q_quality,
         "flagship_tiles": q_flagship_tiles,
+        "tile_error_report": q_tile_error_report,
     }
 
 
@@ -1070,4 +1181,5 @@ def oracle_sql() -> dict:
         "geoloc_refined": SQL_GEOLOC_REFINED,
         "region_map": SQL_REGION_MAP,
         "wse_corrections": SQL_WSE_CORRECTIONS,
+        "tile_error_report": SQL_TILE_ERROR_REPORT,
     }
