@@ -370,11 +370,15 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         offsets = np.concatenate([
             np.searchsorted(pair_cells, p_cells, side="left"),
             [len(pair_cells)]]).astype(np.int32)
+        # int32 list children: site_id < 2^20 (pack guard) and per-batch
+        # counts < batch rows < 2^31 — halves the zonal bytes in the
+        # one shuffle (unpack_zonal_lists widens back to int64)
         out = p.append_column("site_ids", pa.ListArray.from_arrays(
             pa.array(offsets),
-            pa.array(uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))))
+            pa.array((uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))
+                     .astype(np.int32))))
         out = out.append_column("site_cnts", pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(cnt.astype(np.int64))))
+            pa.array(offsets), pa.array(cnt.astype(np.int32))))
         # shuffle key = OUTPUT SHARD (tile % num_shards): one all-to-all
         # carries the stream from partials to finished files. Tiles bound
         # cells (tile_size^2 each), so shard sizes stay balanced.
