@@ -581,6 +581,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_range_join(sf_dir: str):
+    """Distributed range join (stages/rangejoin.py): every event joined
+    against deterministic sampled 'windows' (1 in 97 events opens a 1-7 h
+    interval) on ``ts BETWEEN start AND end`` — the temporal-containment
+    join shape between the as-of join (exact key ordering) and the
+    tumbling windows (fixed grid). Both sides stream; one keyed exchange."""
+    from ..stages.rangejoin import range_join
+
+    HOUR_US = 3_600_000_000
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def as_points(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "value": b["value"],
+            "_ts": pc.cast(b["ts"], pa.int64()),
+        })
+
+    def as_windows(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        keep = (eid % 97) == 0
+        eid = eid[keep]
+        start = np.asarray(b["ts"], dtype="datetime64[us]").astype(np.int64)[keep]
+        end = start + (eid % 7 + 1) * HOUR_US
+        return pa.table({"window_id": pa.array(eid), "_s": pa.array(start),
+                         "_e": pa.array(end)})
+
+    points = ev.map_batches(as_points, batch_format="pyarrow")
+    windows = ev.map_batches(as_windows, batch_format="pyarrow")
+    return range_join(points, windows, ts_col="_ts", start_col="_s",
+                      end_col="_e", point_cols=["event_id", "value"],
+                      interval_cols=["window_id"])
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.value, w.event_id AS window_id
+FROM events e JOIN events w
+  ON w.event_id % 97 = 0
+ AND e.ts >= w.ts
+ AND e.ts <= w.ts + to_hours(CAST(w.event_id % 7 + 1 AS INTEGER))
+"""
+
+
 def q_lang_counts(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["lang"])
     return hash_aggregate(ds, "lang", {"n": (None, "count")})
@@ -1126,6 +1170,7 @@ def queries() -> dict:
         "sessionize": q_sessionize,
         "asof_dim": q_asof_dim,
         "hourly_windows": q_hourly_windows,
+        "range_join": q_range_join,
         "lang_counts": q_lang_counts,
         "token_counts": q_token_counts,
         "ann_top5": q_ann_top5,
@@ -1173,6 +1218,7 @@ def oracle_sql() -> dict:
         "sessionize": SQL_SESSIONIZE,
         "asof_dim": SQL_ASOF_DIM,
         "hourly_windows": SQL_HOURLY_WINDOWS,
+        "range_join": SQL_RANGE_JOIN,
         "lang_counts": SQL_LANG_COUNTS,
         "token_counts": SQL_TOKEN_COUNTS,
         "ann_top5": SQL_ANN_TOP5,
