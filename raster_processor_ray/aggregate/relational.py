@@ -127,6 +127,9 @@ def hash_aggregate(ds, keys: list[str] | str, spec: dict, *, num_buckets: int = 
             .map_groups(combine, batch_format="pandas"))
 
 
+_BCAST_CACHE: dict = {}
+
+
 def broadcast_lookup(ds, lookup: pd.DataFrame, on: str, cols: list[str]):
     """Broadcast hash join: attach ``cols`` from a small dimension table
     (the reference's T3/J3 raster-value lookup shape) — no shuffle."""
@@ -135,16 +138,23 @@ def broadcast_lookup(ds, lookup: pd.DataFrame, on: str, cols: list[str]):
     # keep-last on duplicate keys (dict-insertion semantics)
     ref = ray.put(lookup[[on] + cols].drop_duplicates(subset=[on], keep="last"))
 
-    class Lookup:
-        def __init__(self):
-            self.table: pd.DataFrame = ray.get(ref)
+    def lookup_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # Task-fusion form (see flagship._cached_enricher): an actor-pool
+        # stage cannot fuse with adjacent operators, so every block would
+        # round-trip the object store just to attach a few columns.
+        # Stateless tasks with the broadcast frame cached in a process
+        # global keep the fetch-once-per-worker property AND fuse with the
+        # upstream read / downstream partial-agg into one operator.
+        table = _BCAST_CACHE.get(ref)
+        if table is None:
+            if len(_BCAST_CACHE) >= 4:
+                _BCAST_CACHE.clear()
+            table = _BCAST_CACHE[ref] = ray.get(ref)
+        # vectorized left merge against the broadcast frame (no per-row
+        # dict hashing); preserve the input row order
+        return df.merge(table, on=on, how="left", sort=False)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            # vectorized left merge against the broadcast frame (no per-row
-            # dict hashing); preserve the input row order
-            return df.merge(self.table, on=on, how="left", sort=False)
-
-    return ds.map_batches(Lookup, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    return ds.map_batches(lookup_batch, batch_format="pandas")
 
 
 def hash_join(left, right, on: str | list[str], how: str = "inner", *,

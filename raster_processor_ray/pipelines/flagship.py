@@ -313,9 +313,12 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
            ... fused with BOTH map-side partial families (rasterize
            partials + per-(cell, site) zonal counts) in the SAME pass —
            the full enriched page stream is never materialized
-        -> ONE combined shuffle keyed on OUTPUT SHARD (tile % num_shards)
+        -> ONE bounded exchange keyed on OUTPUT SHARD (tile % num_shards):
+           split tasks launched as enrich blocks stream out (raw Ray
+           tasks — the shard count is a small fixed constant, so no
+           sort-based all-to-all; see the end-game comment below)
         -> per-shard combine + finalize (cells + dominant-site argmax)
-           + BOTH resumable shard writes inside the same group task —
+           + BOTH resumable shard writes inside the same shard task —
            no post-finalize exchange or materialize barrier exists
 
     Returns (tiles_manifest, zonal_manifest).
@@ -410,8 +413,7 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                                         num_shards=num_out_shards))
     done_arr = np.array(sorted(done), dtype=np.int64)
 
-    def combine_finalize_write(t: pa.Table) -> pa.Table:
-        shard = int(np.asarray(t["_bucket"])[0])
+    def combine_finalize_write(shard: int, t: pa.Table) -> dict:
         raster = t.drop_columns(["_bucket", "site_ids", "site_cnts"])
         combined = combine_partials_df(raster.to_pandas(), cfg)
         fin = finalize_cells(
@@ -440,33 +442,83 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         zm = lineage.write_shard_table(
             fin[["grid_cell", "mode_label", "mode_count"]], zonal_dir, shard,
             key_col="grid_cell", sort_cols=["grid_cell"])
-        return pa.table({
-            "shard": pa.array([shard], type=pa.int64()),
-            "tiles_rows": pa.array([tm["rows"]], type=pa.int64()),
-            "tiles_bytes": pa.array([tm["bytes"]], type=pa.int64()),
-            "tiles_key_hash": pa.array([tm["key_hash"]]),
-            "zonal_rows": pa.array([zm["rows"]], type=pa.int64()),
-            "zonal_bytes": pa.array([zm["bytes"]], type=pa.int64()),
-            "zonal_key_hash": pa.array([zm["key_hash"]]),
-        })
+        return {
+            "shard": shard,
+            "tiles_rows": tm["rows"], "tiles_bytes": tm["bytes"],
+            "tiles_key_hash": tm["key_hash"],
+            "zonal_rows": zm["rows"], "zonal_bytes": zm["bytes"],
+            "zonal_key_hash": zm["key_hash"],
+        }
 
-    from ..util import pin_for_shuffle
+    partials = ds.map_batches(
+        enrich_partials, batch_format="pyarrow",
+        batch_size=enrich_batch_size,  # None = whole block:
+        # fewest partial rows per shuffle (cells repeat
+        # across batches, so bigger batches combine more)
+        **({"concurrency": enrich_concurrency}
+           if enrich_concurrency else {}))
 
-    partials_ds = pin_for_shuffle(
-        ds.map_batches(enrich_partials, batch_format="pyarrow",
-                       batch_size=enrich_batch_size,  # None = whole block:
-                       # fewest partial rows per shuffle (cells repeat
-                       # across batches, so bigger batches combine more)
-                       **({"concurrency": enrich_concurrency}
-                          if enrich_concurrency else {})))
-    m = (partials_ds
-         .groupby("_bucket")
-         .map_groups(combine_finalize_write, batch_format="pyarrow")
-         .to_pandas())
+    # MANUAL bounded exchange (raw Ray tasks) instead of
+    # groupby("_bucket").map_groups(...): the shard count is a SMALL
+    # FIXED constant, so the sort-based all-to-all is semantically
+    # unnecessary — and its sampling + per-block sort + range-partition
+    # machinery is a measured ~5 s NON-SCALING constant (same wall cost
+    # at every CPU count; it was the term capping N->4N scaling
+    # efficiency — see BASELINE.md round 3). Split tasks launch as
+    # enrich blocks STREAM out of the executor (the exchange overlaps
+    # enrichment; no materialize barrier, and the lazy enrich chain runs
+    # exactly once — the double-execution pin_for_shuffle guards against
+    # only exists for sort-sampled shuffles). One combine task per shard
+    # then finalizes + writes both outputs. Object count is
+    # B blocks x S shards of small partial slices; at very large B
+    # (>10^4 blocks per run) add a tree fan-in per shard ahead of the
+    # combine — at 100-TB scale B is bounded by blocks-per-RUN, and runs
+    # are already partitioned by the resumable manifest.
+    nb = int(num_buckets)
+
+    @ray.remote(num_returns=nb)
+    def split_block(t):
+        if not isinstance(t, pa.Table):
+            # blocks skipped past the UDF keep their source format
+            # (e.g. pandas for from_pandas inputs)
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0 or "_bucket" not in t.column_names:
+            # Ray passes EMPTY input blocks through map_batches without
+            # calling the UDF — they arrive here with the raw page schema
+            empty = t.slice(0, 0)
+            return [empty] * nb if nb > 1 else empty
+        b = np.asarray(t["_bucket"])
+        order = np.argsort(b, kind="stable")
+        ts = t.take(pa.array(order))
+        bounds = np.searchsorted(b[order], np.arange(nb + 1))
+        parts = [ts.slice(bounds[s], bounds[s + 1] - bounds[s])
+                 for s in range(nb)]
+        return parts if nb > 1 else parts[0]
+
+    @ray.remote
+    def combine_shard(shard: int, *parts):
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return None
+        return combine_finalize_write(shard, pa.concat_tables(tabs))
+
+    per_shard: list[list] = [[] for _ in range(nb)]
+    for bundle in partials.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = split_block.remote(block_ref)
+            for s, r in enumerate(refs if nb > 1 else [refs]):
+                per_shard[s].append(r)
+    rows = [r for r in ray.get([combine_shard.remote(s, *per_shard[s])
+                                for s in range(nb) if per_shard[s]])
+            if r is not None]
     lineage.complete_run(tiles_dir, key_col="tile_id",
                          num_shards=num_out_shards)
     lineage.complete_run(zonal_dir, key_col="grid_cell",
                          num_shards=num_out_shards)
+    mcols = ["shard", "tiles_rows", "tiles_bytes", "tiles_key_hash",
+             "zonal_rows", "zonal_bytes", "zonal_key_hash"]
+    m = (pd.DataFrame(rows, columns=mcols) if rows
+         else pd.DataFrame(columns=mcols))
     tiles_manifest = m[["shard", "tiles_rows", "tiles_bytes",
                         "tiles_key_hash"]].rename(columns={
         "tiles_rows": "rows", "tiles_bytes": "bytes",

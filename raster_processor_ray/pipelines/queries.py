@@ -890,20 +890,32 @@ def q_geoloc_refined(sf_dir: str):
         return b.append_column("ccell", pa.array(floor_cell(lat, lon, 4.0)))
 
     ds = ds.map_batches(add_ccell, batch_format="pyarrow")
-    coarse = hash_aggregate(ds, "ccell", {
+    # ONE pass over the raw documents: partials keyed by (cell, ccell).
+    # cell_value is CONSTANT within a coarse cell, so the fine-phase
+    # mean(cell_value) only needs per-(cell, ccell) counts — both the
+    # coarse raster and the fine re-aggregate derive from this pair
+    # table, which is bounded by the fine GRID size (== output size),
+    # not by document count. The lazy two-pass formulation executed the
+    # read + geotag chain twice and broadcast-joined every raw row.
+    pairs = hash_aggregate(ds, ["cell", "ccell"], {
+        "n": (None, "count"),
         "_sum": ("n_chars", "sum"),
         "_cnt": ("n_chars", "count"),
     }).to_pandas()
+    coarse = pairs.groupby("ccell", as_index=False).agg(
+        s=("_sum", "sum"), c=("_cnt", "sum"))
     # exact value: float64 division of exactly-summed ints (bit-identical
     # to DuckDB's sum(x)::DOUBLE / count(x))
-    coarse["cell_value"] = coarse["_sum"].astype(np.float64) / coarse["_cnt"]
-    fed = broadcast_lookup(ds, coarse[["ccell", "cell_value"]], "ccell",
-                           ["cell_value"])
-    out = hash_aggregate(fed, "cell", {
-        "n": (None, "count"),
-        "mean_improved": ("cell_value", "mean"),
-    })
-    return _round_cols(out, {"mean_improved": 6})
+    coarse["cell_value"] = coarse["s"].astype(np.float64) / coarse["c"]
+    m = pairs.merge(coarse[["ccell", "cell_value"]], on="ccell", how="left")
+    valid = m["cell_value"].notna()
+    m["_wv"] = np.where(valid, m["n"] * m["cell_value"], 0.0)
+    m["_wn"] = np.where(valid, m["n"], 0)
+    out = m.groupby("cell", as_index=False).agg(
+        n=("n", "sum"), _sv=("_wv", "sum"), _sn=("_wn", "sum"))
+    out["mean_improved"] = out["_sv"] / out["_sn"].replace(0, np.nan)
+    return _round_cols(out[["cell", "n", "mean_improved"]],
+                       {"mean_improved": 6})
 
 
 CCELL_SQL = floor_cell_sql(SQL_LAT, SQL_LON, 4.0)
@@ -956,6 +968,47 @@ def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-duplicate candidate pairs over documents."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_candidates(ds, num_perm=64, num_bands=16)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity join over documents (prefix
+    filtering, no LSH approximation) — the exact counterpart to the
+    MinHash candidate path, full DuckDB all-pairs oracle."""
+    from ..stages.setjoin import ngram_jaccard_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_join(ds, ngram=3, threshold=0.5)
+    return _round_cols(out, {"jaccard": 6})
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), t AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM d
+), g AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), g2 AS (
+  SELECT doc_id, gram FROM g WHERE gram IS NOT NULL
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM g2 GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g2 a JOIN g2 b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b,
+       round(s.c / (1.0 * (sa.n + sb.n - s.c)), 6) AS jaccard
+FROM shared s
+JOIN sz sa ON sa.doc_id = s.id_a
+JOIN sz sb ON sb.doc_id = s.id_b
+WHERE s.c / (1.0 * (sa.n + sb.n - s.c)) >= 0.5
+"""
 
 
 def q_simhash_fingerprints(sf_dir: str):
@@ -1187,6 +1240,7 @@ def queries() -> dict:
         "dense_tiles": q_dense_tiles,
         "gap_flags": q_gap_flags,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_fingerprints": q_simhash_fingerprints,
         "langid": q_langid,
         "media_decode": q_media_decode,
@@ -1224,6 +1278,7 @@ def oracle_sql() -> dict:
         "ann_top5": SQL_ANN_TOP5,
         "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "geoloc_refined": SQL_GEOLOC_REFINED,
         "region_map": SQL_REGION_MAP,
         "wse_corrections": SQL_WSE_CORRECTIONS,

@@ -1,0 +1,215 @@
+"""Exact set-similarity join: all document pairs with word-n-gram Jaccard
+similarity >= threshold, WITHOUT LSH approximation.
+
+Algorithm: prefix filtering (the AllPairs family — Bayardo, Ma & Srikant,
+"Scaling Up All Pairs Similarity Search", WWW'07; public knowledge).
+Under ANY fixed global total order over set elements, two sets A, B with
+Jaccard(A, B) >= t must share at least one element within the first
+``p(X) = |X| - ceil(t*|X|) + 1`` elements of EACH set: Jaccard >= t
+implies overlap o >= ceil(t*max(|A|,|B|)), and the smallest shared
+element has rank <= |X| - o + 1 in both. So it suffices to
+
+1. emit only each doc's PREFIX grams (one row per (gram, doc, set_size)),
+2. group by gram (bucketed shuffle) and pair up docs within each group,
+   pruned by the size filter ``t*max(na, nb) <= min(na, nb)``,
+3. distinct the candidate pairs, and
+4. verify with the exact Jaccard (texts attached via two bucketed hash
+   joins; never collected on the driver).
+
+We order grams by their 64-bit hash value: correct for ANY total order
+and requires ZERO global state (no frequency table to build/broadcast).
+The classic rarest-first frequency order yields fewer candidates; at
+100-TB scale that refinement is one extra bounded aggregate + broadcast
+of the top-K hot grams and can be layered on without changing semantics.
+
+Scale notes: the shuffle ships only (gram_hash, id, size) prefix rows —
+~(1-t)*|grams| of the corpus, no text. Candidate groups for a gram are
+the docs holding it in-prefix; true duplicate CLIQUES of size s emit
+O(s^2) pairs because the ANSWER contains O(s^2) pairs — exactness rules
+out the star-collapse used by the (approximate) MinHash path.
+
+Reference parity: near-dup semantics mirror the MinHash/SimHash family
+(stages/dedup.py); this operator is the exact counterpart with a full
+DuckDB oracle (pipelines/queries.py q_ngram_jaccard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geo.hashing import fnv1a_64, splitmix64
+from .dedup import _dedup_pairs_arrays
+
+
+def _word_gram_hashes(texts, n: int):
+    """uint64 hashes of word n-grams for a column of texts, vectorized
+    ACROSS docs: one Arrow split for the whole batch, one FNV pass over
+    the flat token array, ``n`` shifted splitmix combines.
+
+    Returns ``(doc_idx, gram_hash)`` flat arrays of per-doc UNIQUE grams,
+    sorted by (doc_idx, gram_hash). Docs with fewer than ``n`` tokens
+    contribute nothing (mirrors SQL: lead() past the end is NULL).
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([t if t is not None else "" for t in texts],
+                         type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts.fill_null(""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    th = fnv1a_64(flat)
+    L = len(th)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    cnt = np.diff(offs)
+    ndocs = len(cnt)
+    # order-sensitive combine of n consecutive token hashes (positions
+    # past each doc's valid range produce junk that the mask drops)
+    g = th.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            shifted = np.zeros(L, dtype=np.uint64)
+            if L > j:
+                shifted[:L - j] = th[j:]
+            g = splitmix64(g) ^ shifted
+        g = splitmix64(g)
+    # valid gram start positions: local index < cnt[doc] - n + 1
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), cnt)
+    local = np.arange(L, dtype=np.int64) - np.repeat(offs[:-1], cnt)
+    valid = local < np.repeat(np.maximum(cnt - n + 1, 0), cnt)
+    doc_idx, gh = doc_of[valid], g[valid]
+    # per-doc unique, sorted by (doc, gram-hash): the global order
+    order = np.lexsort((gh, doc_idx))
+    doc_idx, gh = doc_idx[order], gh[order]
+    if len(gh):
+        keep = np.empty(len(gh), dtype=bool)
+        keep[0] = True
+        keep[1:] = (doc_idx[1:] != doc_idx[:-1]) | (gh[1:] != gh[:-1])
+        doc_idx, gh = doc_idx[keep], gh[keep]
+    return doc_idx, gh
+
+
+def _gram_sets(texts, n: int) -> list[np.ndarray]:
+    """Per-doc sorted unique gram-hash arrays (for exact verification)."""
+    ntexts = len(texts)
+    doc_idx, gh = _word_gram_hashes(texts, n)
+    sizes = np.bincount(doc_idx, minlength=ntexts)
+    return np.split(gh, np.cumsum(sizes)[:-1])
+
+
+def ngram_jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       ngram: int = 3, threshold: float = 0.5,
+                       num_buckets: int = 64):
+    """All (id_a < id_b, jaccard) pairs with word-``ngram`` Jaccard >=
+    ``threshold``. EXACT (prefix-filter candidates + full verification).
+    """
+    t = float(threshold)
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col]).astype(np.int64)
+        doc_idx, gh = _word_gram_hashes(b[text_col], ngram)
+        sizes = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        starts = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        # prefix length p = m - ceil(t*m) + 1 per doc; rank within doc
+        p = sizes - np.ceil(t * sizes).astype(np.int64) + 1
+        rank = np.arange(len(gh), dtype=np.int64) - starts[doc_idx]
+        keep = rank < p[doc_idx]
+        gk = gh[keep]
+        return pa.table({
+            "_gram": pa.array(gk.view(np.int64)),
+            "id": pa.array(ids[doc_idx[keep]]),
+            "size": pa.array(sizes[doc_idx[keep]]),
+            "_bucket": pa.array((gk % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        gram = df["_gram"].to_numpy()
+        ids = df["id"].to_numpy()
+        sz = df["size"].to_numpy()
+        order = np.lexsort((ids, gram))
+        gram, ids, sz = gram[order], ids[order], sz[order]
+        starts = (np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+                  if len(gram) else np.empty(0, dtype=np.int64))
+        sizes = np.diff(np.r_[starts, len(gram)])
+        # all within-group pairs, vectorized per distinct group size
+        ia_parts, ib_parts = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            grp = starts[sizes == s]
+            iu, ju = np.triu_indices(s, k=1)
+            ia_parts.append((grp[:, None] + iu[None, :]).ravel())
+            ib_parts.append((grp[:, None] + ju[None, :]).ravel())
+        if not ia_parts:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64)})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        # size filter: jaccard >= t forces t*max(na,nb) <= min(na,nb)
+        na, nb = sz[ia], sz[ib]
+        ok = t * np.maximum(na, nb) <= np.minimum(na, nb)
+        a, b = ids[ia[ok]], ids[ib[ok]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        lo, hi = _dedup_pairs_arrays(lo.astype(np.uint64), hi.astype(np.uint64))
+        return pd.DataFrame({"id_a": lo.astype(np.int64),
+                             "id_b": hi.astype(np.int64)})
+
+    from ..util import pin_for_shuffle
+
+    cand = (pin_for_shuffle(ds.map_batches(prefix_rows, batch_format="pyarrow"))
+            .groupby("_bucket").map_groups(emit_bucket, batch_format="pandas"))
+    # no _distinct_pairs shuffle: every copy of a pair shares id_a, so the
+    # verify join's id_a buckets co-locate them — dedup rides that
+    # exchange for free (hash_join left_distinct)
+    return jaccard_ngram_verify(cand, ds, id_col=id_col, text_col=text_col,
+                                ngram=ngram, threshold=t,
+                                num_buckets=num_buckets,
+                                distinct_pairs=True)
+
+
+def jaccard_ngram_verify(pairs_ds, docs_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text", ngram: int = 3,
+                         threshold: float = 0.5, num_buckets: int = 32,
+                         distinct_pairs: bool = False):
+    """Exact word-n-gram Jaccard for candidate pairs; texts attached via
+    two bucketed hash joins (same shape as
+    dedup.jaccard_verify_distributed, stages/dedup.py:317).
+
+    ``distinct_pairs``: dedup (id_a, id_b) inside the first join's
+    buckets (duplicates share id_a, so they are co-located) instead of a
+    dedicated distinct shuffle."""
+    from ..aggregate.relational import hash_join
+
+    def rename(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": b[id_col],
+                             f"text_{side}": b[text_col]})
+        return f
+
+    docs_a = docs_ds.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(rename("b"), batch_format="pyarrow")
+    joined = hash_join(pairs_ds, docs_a, "id_a", num_buckets=num_buckets,
+                       left_distinct=(["id_a", "id_b"] if distinct_pairs
+                                      else None))
+    joined = hash_join(joined, docs_b, "id_b", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sa = _gram_sets(df["text_a"].tolist(), ngram)
+        sb = _gram_sets(df["text_b"].tolist(), ngram)
+        jac = np.zeros(len(df), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(sa, sb)):
+            if len(a) == 0 or len(b) == 0:
+                continue  # SQL emits no rows for gram-less docs
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac[i] = inter / (len(a) + len(b) - inter)
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[jac >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
