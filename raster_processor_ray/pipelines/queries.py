@@ -1011,6 +1011,101 @@ WHERE s.c / (1.0 * (sa.n + sb.n - s.c)) >= 0.5
 """
 
 
+def q_dedup_cc(sf_dir: str):
+    """Transitive dedup clustering (stages/cc.py): a deterministic edge
+    layer over documents — same-lang consecutive-id CHAINS (multi-hop
+    paths) plus star edges to the min doc_id of each
+    (source, n_chars % 10) group — collapsed into connected components
+    with the large-star/small-star operator. Oracle: DuckDB
+    recursive-CTE transitive closure, so the check covers MULTI-HOP
+    merges (A~B, B~C => comp(A)==comp(C)), not just direct pairs."""
+    from ..aggregate.relational import hash_join
+    from ..stages.cc import attach_components, connected_components
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+
+    def lhs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        return pa.table({"u": pa.array(ids), "nid": pa.array(ids + 1),
+                         "lang": b["lang"]})
+
+    def rhs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        return pa.table({"nid": pa.array(ids), "v": pa.array(ids),
+                         "lang": b["lang"]})
+
+    e1 = hash_join(docs.map_batches(lhs, batch_format="pyarrow"),
+                   docs.map_batches(rhs, batch_format="pyarrow"),
+                   on=["nid", "lang"]).select_columns(["u", "v"])
+
+    def grp(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        bkt = np.asarray(b["n_chars"]).astype(np.int64) % 10
+        return pa.table({"doc_id": pa.array(ids), "source": b["source"],
+                         "bkt": pa.array(bkt)})
+
+    g = docs.map_batches(grp, batch_format="pyarrow")
+    # star edges to the group min — NOT all-pairs cliques (same component,
+    # O(group) edges instead of O(group^2))
+    mins = hash_aggregate(g, ["source", "bkt"], {"mn": ("doc_id", "min")})
+    e2 = hash_join(g, mins, on=["source", "bkt"]).map_batches(
+        lambda b: pa.table({"u": b["doc_id"], "v": b["mn"]}),
+        batch_format="pyarrow")
+
+    labels = connected_components(e1.union(e2))
+    out = attach_components(docs.select_columns(["doc_id"]), labels,
+                            id_col="doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "comp"]),
+                           batch_format="pyarrow")
+
+
+SQL_DEDUP_CC = """
+WITH RECURSIVE e1 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+  JOIN documents b ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang
+), g AS (
+  SELECT doc_id, source, n_chars % 10 AS bkt FROM documents
+), e2 AS (
+  SELECT g.doc_id AS u, m.mn AS v
+  FROM g JOIN (SELECT source, bkt, min(doc_id) AS mn
+               FROM g GROUP BY 1, 2) m USING (source, bkt)
+  WHERE g.doc_id <> m.mn
+), edges AS (
+  SELECT u, v FROM e1 UNION SELECT v, u FROM e1
+  UNION SELECT u, v FROM e2 UNION SELECT v, u FROM e2
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+  WHERE e.v <> r.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS comp FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def q_minhash_dedup(sf_dir: str):
+    """The COMPLETE near-dup dedup pipeline: MinHash-LSH candidates ->
+    exact Jaccard verification -> connected components -> one canonical
+    survivor (min doc_id) per duplicate cluster. Deterministic (seeded
+    MinHash) but not SQL-expressible — rows-only driver check; the CC
+    operator itself is oracle-checked by dedup_cc."""
+    from ..stages.cc import component_survivors, connected_components
+    from ..stages.dedup import minhash_near_dup_verified
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dup_verified(docs, num_perm=64, num_bands=16,
+                                      threshold=0.6)
+    labels = connected_components(pairs, u_col="id_a", v_col="id_b")
+    surv = component_survivors(docs.select_columns(["doc_id"]), labels,
+                               id_col="doc_id")
+    return surv.map_batches(lambda b: b.select(["doc_id"]),
+                            batch_format="pyarrow")
+
+
 def q_simhash_fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
@@ -1241,6 +1336,8 @@ def queries() -> dict:
         "gap_flags": q_gap_flags,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_cc": q_dedup_cc,
+        "minhash_dedup": q_minhash_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
         "langid": q_langid,
         "media_decode": q_media_decode,
@@ -1279,6 +1376,7 @@ def oracle_sql() -> dict:
         "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_cc": SQL_DEDUP_CC,
         "geoloc_refined": SQL_GEOLOC_REFINED,
         "region_map": SQL_REGION_MAP,
         "wse_corrections": SQL_WSE_CORRECTIONS,
