@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "order_mode_flag", "dedup_users", "sessionize", "asof_dim",
     "hourly_windows", "token_counts", "ann_top5", "minhash_pairs",
     "rasterize_samples", "geoloc_refined", "region_map", "dense_tiles",
-    "tile_error_report",
+    "tile_error_report", "range_join", "knn_bucketed", "dedup_cc",
+    "minhash_dedup",
 ]
 
 

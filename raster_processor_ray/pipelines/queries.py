@@ -1045,11 +1045,23 @@ def q_dedup_cc(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids), "source": b["source"],
                          "bkt": pa.array(bkt)})
 
-    g = docs.map_batches(grp, batch_format="pyarrow")
+    def grp_key(b: pa.Table) -> pa.Table:
+        sk = pc.binary_join_element_wise(
+            b["source"], pc.cast(b["bkt"], pa.string()), "|")
+        return b.append_column("gk", sk)
+
+    g = read_table(sf_dir, "documents",
+                   columns=["doc_id", "source", "n_chars"]).map_batches(
+        grp, batch_format="pyarrow").map_batches(grp_key,
+                                                 batch_format="pyarrow")
     # star edges to the group min — NOT all-pairs cliques (same component,
-    # O(group) edges instead of O(group^2))
-    mins = hash_aggregate(g, ["source", "bkt"], {"mn": ("doc_id", "min")})
-    e2 = hash_join(g, mins, on=["source", "bkt"]).map_batches(
+    # O(group) edges instead of O(group^2)). The per-group mins table is
+    # bounded by |sources| x 10 rows, so it is collected once and
+    # BROADCAST (ray.put + merge inside map_batches) rather than paying a
+    # shuffle join — the canonical small-side pattern.
+    mins = hash_aggregate(g.select_columns(["gk", "doc_id"]), ["gk"],
+                          {"mn": ("doc_id", "min")}).to_pandas()
+    e2 = broadcast_lookup(g, mins, on="gk", cols=["mn"]).map_batches(
         lambda b: pa.table({"u": b["doc_id"], "v": b["mn"]}),
         batch_format="pyarrow")
 
@@ -1162,6 +1174,102 @@ def q_quality(sf_dir: str):
     return out.map_batches(
         lambda df: df[["doc_id", "n_words", "stop_ratio", "quality"]],
         batch_format="pandas")
+
+
+# DuckDB's regex engine is RE2 — the same engine behind the Arrow
+# count_substring_regex kernels — so the text-analysis heuristics are
+# SQL-expressible with BIT-EXACT parity (verified: every float matches
+# to the last bit at sf0.01; divisions of identical ints are IEEE-exact).
+SQL_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(length(t) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(t, '[\p{L}\p{N}_'']+')) AS DOUBLE) AS n_words,
+    CAST(len(regexp_extract_all(t, '[\p{L}\p{N}_'']')) AS DOUBLE) AS word_chars,
+    CAST(len(regexp_extract_all(t, '[^\p{L}\p{N}_\s]')) AS DOUBLE) AS punct_c,
+    CAST(len(regexp_extract_all(t, '\p{Lu}')) AS DOUBLE) AS upper_c,
+    CAST(len(list_filter(regexp_extract_all(lower(t), '[\p{L}\p{N}_'']+'),
+      x -> list_contains(['the','and','of','to','in','is','that','for',
+                          'with','it'], x))) AS DOUBLE) AS stop_hits
+  FROM f
+), r AS (
+  SELECT doc_id, n_words,
+    punct_c / greatest(1.0, n_chars) AS punct,
+    upper_c / greatest(1.0, n_chars) AS upper_r,
+    CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS mwl,
+    CASE WHEN n_words > 0 THEN stop_hits / greatest(n_words, 1.0)
+         ELSE 0.0 END AS stop_r
+  FROM feat
+)
+SELECT doc_id, n_words, stop_r AS stop_ratio,
+  least(n_words / 100.0, 1.0) * 0.3
+  + least(mwl / 8.0, 1.0) * 0.2
+  + least(stop_r * 5.0, 1.0) * 0.3
+  + (1.0 - least(punct * 4.0, 1.0)) * 0.1
+  + (1.0 - least(upper_r * 4.0, 1.0)) * 0.1 AS quality
+FROM r
+"""
+
+SQL_LANGID = r"""
+WITH f AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+tok AS (
+  SELECT doc_id, t,
+    regexp_extract_all(lower(t), '[\p{L}\p{N}_'']+') AS toks,
+    CAST(len(regexp_extract_all(t, '[\p{L}\p{N}_'']+')) AS DOUBLE) AS n_tokens
+  FROM f
+), sc AS (
+  SELECT doc_id, t, n_tokens,
+    CASE WHEN n_tokens > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','in','is','that','for','with','it'], x)))
+      / greatest(n_tokens,1.0) ELSE 0.0 END AS s_en,
+    CASE WHEN n_tokens > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['der','die','und','das','ist','nicht','mit','ein','zu','den'], x)))
+      / greatest(n_tokens,1.0) ELSE 0.0 END AS s_de,
+    CASE WHEN n_tokens > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['le','la','et','les','des','est','que','une','dans','pour'], x)))
+      / greatest(n_tokens,1.0) ELSE 0.0 END AS s_fr,
+    CASE WHEN n_tokens > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','los','en','un','por','con'], x)))
+      / greatest(n_tokens,1.0) ELSE 0.0 END AS s_es,
+    CASE WHEN n_tokens > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['de','que','e','o','da','em','um','para','com','uma'], x)))
+      / greatest(n_tokens,1.0) ELSE 0.0 END AS s_pt,
+    CASE WHEN n_tokens > 0 THEN len(list_filter(toks, x -> list_contains(
+      ['и','в','не','на','что','с','это','как','по','но'], x)))
+      / greatest(n_tokens,1.0) ELSE 0.0 END AS s_ru
+  FROM tok
+), pick AS (
+  SELECT doc_id, t, n_tokens,
+    greatest(s_en, s_de, s_fr, s_es, s_pt, s_ru) AS best_s,
+    CASE  -- first-max-wins in profile order (en, de, fr, es, pt, ru)
+      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+       AND s_en >= s_pt AND s_en >= s_ru THEN 'en'
+      WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_pt
+       AND s_de >= s_ru THEN 'de'
+      WHEN s_fr >= s_es AND s_fr >= s_pt AND s_fr >= s_ru THEN 'fr'
+      WHEN s_es >= s_pt AND s_es >= s_ru THEN 'es'
+      WHEN s_pt >= s_ru THEN 'pt'
+      ELSE 'ru' END AS best_lang
+  FROM sc
+), scr AS (
+  SELECT doc_id,
+    len(regexp_extract_all(substring(t, 1, 200),
+        '[\x{4E00}-\x{9FFF}]')) AS cjk,
+    len(regexp_extract_all(substring(t, 1, 200),
+        '[\x{0600}-\x{06FF}]')) AS arab
+  FROM f
+)
+SELECT p.doc_id,
+  CASE WHEN s.cjk > 5 THEN 'zh'
+       WHEN s.arab > 5 THEN 'ar'
+       WHEN p.n_tokens > 0 AND p.best_s > 0 THEN p.best_lang
+       ELSE 'und' END AS lang_pred,
+  CASE WHEN s.cjk > 5 OR s.arab > 5 THEN 1.0
+       WHEN p.n_tokens > 0 THEN p.best_s ELSE 0.0 END AS lang_score
+FROM pick p JOIN scr s USING (doc_id)
+"""
 
 
 def q_flagship_tiles(sf_dir: str):
@@ -1377,6 +1485,8 @@ def oracle_sql() -> dict:
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_cc": SQL_DEDUP_CC,
+        "quality": SQL_QUALITY,
+        "langid": SQL_LANGID,
         "geoloc_refined": SQL_GEOLOC_REFINED,
         "region_map": SQL_REGION_MAP,
         "wse_corrections": SQL_WSE_CORRECTIONS,

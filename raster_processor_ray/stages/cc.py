@@ -87,6 +87,41 @@ def _star_kernel(df: pd.DataFrame, large: bool) -> pd.DataFrame:
     return pd.DataFrame({"u": out_u, "v": out_v})
 
 
+def _prep_arrays(eu: np.ndarray, ev: np.ndarray, large: bool):
+    """Self-loop drop + symmetrize (large) / hi->lo orient (small)."""
+    keep = eu != ev
+    eu, ev = eu[keep], ev[keep]
+    if large:
+        return np.concatenate([eu, ev]), np.concatenate([ev, eu])
+    return np.maximum(eu, ev), np.minimum(eu, ev)
+
+
+def _local_cc(eu: np.ndarray, ev: np.ndarray, max_iters: int):
+    """Single-process star-contraction fixpoint over numpy arrays — the
+    tail-collapse path once the (strictly shrinking) edge set fits in one
+    worker. Same kernels as the distributed rounds, no shuffles.
+    Returns fixpoint (child, root) arrays."""
+    prev = None
+    for _ in range(max_iters):
+        for large in (True, False):
+            u, v = _prep_arrays(eu, ev, large)
+            out = _star_kernel(pd.DataFrame({"u": u, "v": v}), large)
+            eu = out["u"].to_numpy(dtype=np.int64, copy=False)
+            ev = out["v"].to_numpy(dtype=np.int64, copy=False)
+        cur_u, cur_v = _dedup_sorted(eu, ev)
+        with np.errstate(over="ignore"):
+            cur = (len(cur_u), int(np.uint64(
+                splitmix64(splitmix64(cur_u.astype(np.uint64))
+                           ^ cur_v.astype(np.uint64)).sum(dtype=np.uint64))))
+        if cur == prev or cur[0] == 0:
+            return cur_u, cur_v
+        prev = cur
+        eu, ev = cur_u, cur_v
+    raise RuntimeError(
+        f"connected_components (local tail): no fixpoint after "
+        f"{max_iters} rounds")
+
+
 def _star_round(edges, large: bool, num_buckets: int):
     """edges(u, v) -> one star half-round -> edges(u, v)."""
 
@@ -133,11 +168,21 @@ def _edge_stats(edges) -> tuple[int, int]:
 
 
 def connected_components(edges, *, u_col: str = "u", v_col: str = "v",
-                         num_buckets: int = 64, max_iters: int = 30):
+                         num_buckets: int = 64, max_iters: int = 30,
+                         single_task_threshold: int = 2_000_000):
     """Edge list dataset -> (node, comp) dataset, comp = the component's
     minimum node id. Every node that appears in any edge gets a row
     (isolated nodes never enter an edge list — callers default them to
     comp = their own id, see ``attach_components``).
+
+    Hybrid execution: distributed star rounds run only while the edge
+    set exceeds ``single_task_threshold``; at or below it the remaining
+    contraction runs as ONE task-local numpy fixpoint (``_local_cc``) —
+    the edge set strictly shrinks toward one (child, root) pair per
+    non-root node, so at 100-TB scale the first shuffle rounds do the
+    volume and the tail always collapses to the local path instead of
+    paying per-round shuffle latency on a tiny remainder. Set the
+    threshold to 0 to force every round distributed (tests do).
 
     The per-round materialize is the edge set only (bounded by the input
     edge count and strictly shrinking after the first rounds), never the
@@ -146,9 +191,25 @@ def connected_components(edges, *, u_col: str = "u", v_col: str = "v",
     def to_uv(b: pa.Table) -> pa.Table:
         return pa.table({"u": b[u_col], "v": b[v_col]})
 
-    edges = edges.map_batches(to_uv, batch_format="pyarrow")
+    # materialize ONCE up front: the input may be a lazy join chain, and
+    # both the row-count probe and the first star round need it
+    edges = pin_for_shuffle(edges.map_batches(to_uv, batch_format="pyarrow"))
+
+    def local_tail(b: pa.Table) -> pa.Table:
+        eu = np.asarray(b["u"]).astype(np.int64)
+        ev = np.asarray(b["v"]).astype(np.int64)
+        su, sv = _local_cc(eu, ev, max_iters)
+        roots = np.unique(sv) if len(sv) else sv
+        return pa.table({
+            "node": pa.array(np.concatenate([su, roots])),
+            "comp": pa.array(np.concatenate([sv, roots]))})
+
     prev = None
+    n = edges.count()
     for _ in range(max_iters):
+        if n <= single_task_threshold:
+            return edges.repartition(1).map_batches(
+                local_tail, batch_format="pyarrow", batch_size=None)
         edges = _star_round(edges, large=True, num_buckets=num_buckets)
         edges = pin_for_shuffle(
             _star_round(edges, large=False, num_buckets=num_buckets))
@@ -156,6 +217,7 @@ def connected_components(edges, *, u_col: str = "u", v_col: str = "v",
         if cur == prev or cur[0] == 0:
             break
         prev = cur
+        n = cur[0]
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iters} rounds")

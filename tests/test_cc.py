@@ -51,10 +51,24 @@ def test_single_edge():
     _check([(5, 2)])
 
 
-def test_chain_long():
-    # a 400-node path: O(log^2 n) star rounds must close it, and the
-    # fixpoint check must terminate well under max_iters
-    _check([(i, i + 1) for i in range(400)], num_buckets=8)
+def test_chain_long_distributed():
+    # a 400-node path through the DISTRIBUTED rounds (threshold=0):
+    # O(log^2 n) star rounds must close it, and the fixpoint check must
+    # terminate well under max_iters
+    _check([(i, i + 1) for i in range(400)], num_buckets=8,
+           single_task_threshold=0)
+
+
+def test_chain_local_tail():
+    # same chain through the default local-tail path
+    _check([(i, i + 1) for i in range(400)])
+
+
+def test_mid_switch_to_local_tail():
+    # threshold between the input size and the contracted size: the
+    # first rounds run distributed, the remainder collapses locally
+    _check([(i, i + 1) for i in range(200)], num_buckets=4,
+           single_task_threshold=150)
 
 
 def test_two_components_and_star():
@@ -75,7 +89,10 @@ def test_random_graphs_match_union_find():
         m = int(rng.integers(n // 2, 2 * n))
         a = rng.integers(0, n, size=m)
         b = rng.integers(0, n, size=m)
-        _check(list(zip(a.tolist(), b.tolist())), num_buckets=8)
+        # alternate execution paths: distributed rounds / local tail
+        thr = 0 if trial % 2 == 0 else 2_000_000
+        _check(list(zip(a.tolist(), b.tolist())), num_buckets=8,
+               single_task_threshold=thr)
 
 
 def test_empty_edges():
