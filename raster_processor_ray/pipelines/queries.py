@@ -128,7 +128,8 @@ FROM documents GROUP BY 1
 
 
 def q_hex_cells(sf_dir: str):
-    """H3-like hex binning (no SQL oracle: cube rounding); rows-only check."""
+    """H3-like hex binning (axial + cube rounding), full SQL oracle —
+    see SQL_HEX_CELLS parity notes."""
     from ..geo.cells import h3ish_cell_id
 
     ds = _docs_with_geo(sf_dir)
@@ -139,6 +140,41 @@ def q_hex_cells(sf_dir: str):
 
     return hash_aggregate(ds.map_batches(add_hex, batch_format="pyarrow"),
                           "hex_cell", {"n": (None, "count")})
+
+
+# Axial coords + cube rounding in SQL. Two parity notes: (a) the only
+# engine/SQL divergence risk is round() tie-breaking (NumPy half-to-even
+# vs DuckDB half-away) — unreachable here because q and s carry a
+# sqrt(3) factor and r = lat/3 never lands on .5 for the geotag's
+# rationals (verified exact on sf0.001/0.01/0.1); (b) the bit-OR of the
+# disjoint (q, r) fields equals plain arithmetic qi * 2^21 + ri.
+SQL_HEX_CELLS = f"""
+WITH pts AS (
+  SELECT doc_id, {SQL_LAT} AS lat, {SQL_LON} AS lon FROM documents
+), ax AS (
+  SELECT doc_id, (sqrt(3.0)/3.0 * lon - lat/3.0) / 2.0 AS q,
+         (2.0/3.0 * lat) / 2.0 AS r
+  FROM pts
+), rnd AS (
+  SELECT doc_id, q, r, -q - r AS s,
+         round(q) AS rq0, round(r) AS rr0, round(-q - r) AS rs0
+  FROM ax
+), fx AS (
+  SELECT doc_id, abs(rq0-q) AS dq, abs(rr0-r) AS dr, abs(rs0-s) AS ds,
+         rq0, rr0, rs0
+  FROM rnd
+), cube AS (
+  SELECT doc_id,
+    CASE WHEN dq > dr AND dq > ds THEN -rr0 - rs0 ELSE rq0 END AS rq,
+    CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+         THEN -rq0 - rs0 ELSE rr0 END AS rr
+  FROM fx
+)
+SELECT CAST((CAST(rq AS BIGINT) + 1048576) * 2097152
+            + (CAST(rr AS BIGINT) + 1048576) AS BIGINT) AS hex_cell,
+       count(*) AS n
+FROM cube GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -578,6 +614,47 @@ SQL_HOURLY_WINDOWS = """
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_windows(sf_dir: str):
+    """SLIDING (overlapping) window aggregate: 2-hour windows sliding by
+    1 hour — every event lands in exactly two windows (stages/windows.py
+    bounded fan-out -> one bucketed aggregate). Value sums use the same
+    cent-rounding rule as hourly_windows for float-sum parity."""
+    from ..stages.windows import sliding_window_aggregate
+
+    HOUR_US = 3_600_000_000
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "value_c", pa.array(np.round(np.asarray(b["value"]) * 100.0)))
+
+    agg = sliding_window_aggregate(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        "ts", ["event_type"],
+        {"n": (None, "count"), "sum_value_c": ("value_c", "sum")},
+        window_us=2 * HOUR_US, slide_us=HOUR_US)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df.sum_value_c / 100.0
+        return df[["window_start", "event_type", "n", "sum_value"]]
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_SLIDING_WINDOWS = """
+WITH expanded AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM expanded GROUP BY 1, 2
 """
 
 
@@ -1426,6 +1503,7 @@ def queries() -> dict:
         "sessionize": q_sessionize,
         "asof_dim": q_asof_dim,
         "hourly_windows": q_hourly_windows,
+        "sliding_windows": q_sliding_windows,
         "range_join": q_range_join,
         "lang_counts": q_lang_counts,
         "token_counts": q_token_counts,
@@ -1477,6 +1555,7 @@ def oracle_sql() -> dict:
         "sessionize": SQL_SESSIONIZE,
         "asof_dim": SQL_ASOF_DIM,
         "hourly_windows": SQL_HOURLY_WINDOWS,
+        "sliding_windows": SQL_SLIDING_WINDOWS,
         "range_join": SQL_RANGE_JOIN,
         "lang_counts": SQL_LANG_COUNTS,
         "token_counts": SQL_TOKEN_COUNTS,
@@ -1487,6 +1566,7 @@ def oracle_sql() -> dict:
         "dedup_cc": SQL_DEDUP_CC,
         "quality": SQL_QUALITY,
         "langid": SQL_LANGID,
+        "hex_cells": SQL_HEX_CELLS,
         "geoloc_refined": SQL_GEOLOC_REFINED,
         "region_map": SQL_REGION_MAP,
         "wse_corrections": SQL_WSE_CORRECTIONS,

@@ -1,0 +1,61 @@
+"""Windowed aggregates over event streams (SURVEY.md §2.9 family).
+
+Tumbling windows are a plain keyed aggregate on the truncated timestamp
+(see q_hourly_windows). This module adds SLIDING (overlapping) windows:
+window length W, slide S with S | W — every event belongs to exactly
+W/S windows, so the stage expands each row W/S times (a bounded,
+vectorized fan-out inside ``map_batches``) and feeds ONE bucketed
+hash aggregate. No sort, no per-window state, no driver loops.
+
+Scale shape: the expansion factor W/S is a small constant chosen by the
+caller (2-4 in practice); shuffle bytes grow by exactly that factor and
+the aggregate's map-side partials keep per-block output bounded by
+distinct (window, key) pairs. Skewed hot windows are spread by the same
+``hash(key) % B`` bucketing every other aggregate uses. A
+watermark/stateful streaming form is intentionally NOT needed: Ray Data
+pipelines are batch over bounded inputs (the reference's granule-sized
+runs, SURVEY.md §1); late data re-runs the affected partition via the
+resumable manifest instead of holding open-window state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sliding_window_expand(ds, ts_col: str, *, window_us: int, slide_us: int,
+                          out_col: str = "window_start"):
+    """Append ``window_start`` (datetime64[us]) and expand each row to the
+    W/S windows containing it. Window starts are aligned to the slide
+    grid (floor(ts / S) * S - j*S for j in 0..W/S-1)."""
+    if window_us % slide_us:
+        raise ValueError("slide must divide window")
+    k = window_us // slide_us
+
+    def expand(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b[ts_col]).astype("datetime64[us]").astype(np.int64)
+        n = len(ts)
+        base = (ts // slide_us) * slide_us
+        # j-th copy: window starting j slides earlier still contains ts
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * slide_us, n))
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = b.take(idx)
+        return out.append_column(
+            out_col, pa.array(starts.astype("datetime64[us]")))
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def sliding_window_aggregate(ds, ts_col: str, keys: list[str], spec: dict,
+                             *, window_us: int, slide_us: int,
+                             num_buckets: int = 32):
+    """Sliding-window keyed aggregate: expand (bounded W/S fan-out) ->
+    one bucketed hash aggregate on (window_start, *keys)."""
+    from ..aggregate.relational import hash_aggregate
+
+    expanded = sliding_window_expand(ds, ts_col, window_us=window_us,
+                                     slide_us=slide_us)
+    return hash_aggregate(expanded, ["window_start"] + list(keys), spec,
+                          num_buckets=num_buckets)

@@ -215,7 +215,11 @@ class TestText:
         ]
         out = rd.from_items(rows).map_batches(
             text.QualityScore, batch_format="pandas", concurrency=1).to_pandas()
-        assert out.quality.iloc[0] > out.quality.iloc[1]
+        # output BLOCK order is not guaranteed (2 items -> 2 blocks through
+        # an actor pool) — identify the rows by content, not position
+        good = out.loc[out.n_words > 0, "quality"].iloc[0]
+        garbage = out.loc[out.n_words == 0, "quality"].iloc[0]
+        assert good > garbage
 
     def test_langid_vectorized_vs_row_loop(self, docs):
         """Golden: Arrow-kernel LangId == the per-row Python reference on
