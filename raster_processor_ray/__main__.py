@@ -10,6 +10,9 @@
     python -m raster_processor_ray regionmap <points_parquet> <out_dir>
         --labels col1,col2 [--grid-res R]
     python -m raster_processor_ray densify   <pages_parquet> <out_dir>
+    python -m raster_processor_ray dedup     <docs_parquet> <out_dir>
+        [--id-col C] [--text-col C] [--threshold J]
+        [--num-perm P] [--num-bands B]
 
 Owns its Ray session (guarded init: on a cluster, `ray job submit` has
 RAY_ADDRESS set and the existing session is used).
@@ -58,6 +61,14 @@ def main(argv=None):
     _grid_args(s)
     s.add_argument("--labels", required=True,
                    help="comma-separated region label columns")
+    s = sub.add_parser("dedup")
+    s.add_argument("docs", help="documents parquet (id + text columns)")
+    s.add_argument("out_dir")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--threshold", type=float, default=0.8)
+    s.add_argument("--num-perm", type=int, default=128)
+    s.add_argument("--num-bands", type=int, default=32)
     s = sub.add_parser("report")
     s.add_argument("proc", help="processed raster (resumable dir or parquet)")
     s.add_argument("truth", help="truth raster (resumable dir or parquet)")
@@ -92,6 +103,23 @@ def main(argv=None):
                                         num_shards=args.shards)
             print(json.dumps({"zone": zone, "band": band,
                               "shards": len(m), "rows": int(m.rows.sum())}))
+            return 0
+
+        if args.cmd == "dedup":
+            from .stages.cc import component_survivors, connected_components
+            from .stages.dedup import minhash_near_dup_verified
+
+            docs = rd.read_parquet(args.docs)
+            pairs = minhash_near_dup_verified(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                num_perm=args.num_perm, num_bands=args.num_bands,
+                threshold=args.threshold)
+            labels = connected_components(pairs, u_col="id_a", v_col="id_b")
+            surv = component_survivors(docs, labels, id_col=args.id_col)
+            surv.write_parquet(args.out_dir)
+            n_in, n_out = docs.count(), surv.count()
+            print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                              "removed": n_in - n_out}))
             return 0
 
         grid = GridSpec(x_min=-180.0, y_min=-90.0, x_max=180.0, y_max=90.0,
