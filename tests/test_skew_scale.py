@@ -1,0 +1,85 @@
+"""Skew + key-cardinality stress evidence (north-rule items: skewed hot
+cells handled explicitly; no per-key task explosion at high key counts).
+
+Sizes are chosen to finish in seconds IF the engine's shapes hold:
+- sessionize over 50k distinct keys must run O(buckets) pandas calls,
+  not O(keys) (a per-key map_groups at 50k keys takes minutes);
+- hash_aggregate / rasterize under 90%-one-key skew must stay exact —
+  map-side partials bound the hot key's shuffle rows by #blocks, so no
+  reducer sees the raw row stream.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from raster_processor_ray.aggregate.relational import hash_aggregate
+from raster_processor_ray.stages.sessionize import sessionize
+
+
+def test_sessionize_many_keys_bucket_bounded():
+    n, keys = 100_000, 50_000
+    rng = np.random.default_rng(3)
+    user = rng.integers(0, keys, size=n).astype(np.int64)
+    ts = rng.integers(0, 10_000_000, size=n).astype(np.int64)
+    df = pd.DataFrame({"user_id": user, "ts": ts})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = sessionize(ds, "user_id", "ts", 1000).to_pandas()
+    assert len(out) == n
+    # pandas oracle: per-key sorted gap splits
+    w = df.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+    same = w.user_id.eq(w.user_id.shift(1)).to_numpy()
+    brk = ((w.ts - w.ts.shift(1)) > 1000).to_numpy() & same
+    cs = np.cumsum(brk.astype(np.int64))
+    starts = np.flatnonzero(~same)
+    seq = cs - np.repeat(cs[starts], np.diff(np.append(starts, n)))
+    w["session_seq"] = seq
+    got = out.sort_values(["user_id", "ts", "session_seq"],
+                          kind="mergesort").reset_index(drop=True)
+    want = w.sort_values(["user_id", "ts", "session_seq"],
+                         kind="mergesort").reset_index(drop=True)
+    assert (got["session_seq"].to_numpy() == want["session_seq"].to_numpy()).all()
+
+
+def test_hash_aggregate_extreme_hot_key():
+    n = 500_000
+    rng = np.random.default_rng(4)
+    key = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 1000, size=n))
+    val = rng.integers(0, 100, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(key.astype(np.int64)), "v": pa.array(val)}))
+    out = hash_aggregate(ds.repartition(16), "k",
+                         {"n": (None, "count"), "s": ("v", "sum")}).to_pandas()
+    want = (pd.DataFrame({"k": key, "v": val})
+            .groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum")))
+    m = out.sort_values("k").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    assert len(m) == len(w)
+    assert (m["n"].to_numpy() == w["n"].to_numpy()).all()
+    assert (m["s"].to_numpy() == w["s"].to_numpy()).all()
+    hot = m.loc[m.k == 7]
+    assert int(hot["n"].iloc[0]) == int((key == 7).sum())
+
+
+def test_rasterize_hot_cell_exact():
+    from raster_processor_ray.aggregate.rasterize import rasterize
+    from raster_processor_ray.config import DEFAULT_AGG
+    from raster_processor_ray.geo.cells import GridSpec
+
+    grid = GridSpec(x_min=0, y_min=0, x_max=10, y_max=10, res=1.0,
+                    tile_size=4)
+    n = 200_000
+    rng = np.random.default_rng(5)
+    # 95% of points in ONE cell, remainder spread over the 10x10 grid
+    cell = np.where(rng.random(n) < 0.95, 55,
+                    rng.integers(0, 100, size=n)).astype(np.int64)
+    v = rng.standard_normal(n)
+    ds = ray.data.from_arrow(pa.table({
+        "grid_cell": pa.array(cell), "value": pa.array(v)})).repartition(16)
+    out = rasterize(ds, grid, DEFAULT_AGG).to_pandas()
+    hot = out.loc[out.grid_cell == 55]
+    assert int(hot["n_pix"].iloc[0]) == int((cell == 55).sum())
+    want_mean = v[cell == 55].mean()
+    got_mean = float(hot["mean_value"].iloc[0])
+    assert abs(got_mean - want_mean) < 1e-9
