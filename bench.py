@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "hourly_windows", "token_counts", "ann_top5", "minhash_pairs",
     "rasterize_samples", "geoloc_refined", "region_map", "dense_tiles",
     "tile_error_report", "range_join", "knn_bucketed", "dedup_cc",
-    "minhash_dedup", "sliding_windows",
+    "minhash_dedup", "sliding_windows", "value_quantiles",
 ]
 
 

@@ -617,6 +617,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed median + p90 of the (cent-rounded) event value
+    per event_type (aggregate/quantiles.py: bounded histogram exchange,
+    per-key cumulative pick — no global sort). Oracle uses the identical
+    smallest-v-reaching-ceil(q*n) definition via window functions, not
+    the engine-specific quantile builtins."""
+    from ..aggregate.quantiles import quantile_disc
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "cents": pa.array(np.round(
+                np.asarray(b["value"]) * 100.0).astype(np.int64))})
+
+    return quantile_disc(ds.map_batches(cents, batch_format="pyarrow"),
+                         "event_type", "cents", [0.5, 0.9])
+
+
+SQL_VALUE_QUANTILES = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type,
+  min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS q_50,
+  min(CASE WHEN rn >= CAST(ceil(0.9 * n) AS BIGINT) THEN cents END) AS q_90
+FROM ranked GROUP BY 1
+"""
+
+
 def q_sliding_windows(sf_dir: str):
     """SLIDING (overlapping) window aggregate: 2-hour windows sliding by
     1 hour — every event lands in exactly two windows (stages/windows.py
@@ -1504,6 +1540,7 @@ def queries() -> dict:
         "asof_dim": q_asof_dim,
         "hourly_windows": q_hourly_windows,
         "sliding_windows": q_sliding_windows,
+        "value_quantiles": q_value_quantiles,
         "range_join": q_range_join,
         "lang_counts": q_lang_counts,
         "token_counts": q_token_counts,
@@ -1556,6 +1593,7 @@ def oracle_sql() -> dict:
         "asof_dim": SQL_ASOF_DIM,
         "hourly_windows": SQL_HOURLY_WINDOWS,
         "sliding_windows": SQL_SLIDING_WINDOWS,
+        "value_quantiles": SQL_VALUE_QUANTILES,
         "range_join": SQL_RANGE_JOIN,
         "lang_counts": SQL_LANG_COUNTS,
         "token_counts": SQL_TOKEN_COUNTS,
