@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "rasterize_samples", "geoloc_refined", "region_map", "dense_tiles",
     "tile_error_report", "range_join", "knn_bucketed", "dedup_cc",
     "minhash_dedup", "sliding_windows", "value_quantiles",
+    "distinct_users", "top_orders_by_priority",
 ]
 
 

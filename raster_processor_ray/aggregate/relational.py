@@ -263,6 +263,67 @@ def subsample_every_k(ds, k: int, index_col: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def grouped_topk(ds, keys, by: str, k: int, *, descending: bool = True,
+                 tie_col: str | None = None, num_buckets: int = 32):
+    """Top-k rows PER KEY without a global sort: per-batch per-key
+    partial top-k (bounds every map output at k rows per key per batch),
+    then one bucketed exchange and the same pick per key over the
+    partials. Ships O(keys * k * blocks) rows, never the input."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    asc_main = not descending
+    sort_cols = keys + [by] + ([tie_col] if tie_col else [])
+    asc = [True] * len(keys) + [asc_main] + ([True] if tie_col else [])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+        return df.groupby(keys, sort=False, dropna=False).head(k)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, keys, num_buckets)
+        return df
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return local(df.drop(columns="_bucket"))
+
+    from ..util import pin_for_shuffle
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    tagged = pin_for_shuffle(partials.map_batches(add_bucket,
+                                                  batch_format="pandas"))
+    return tagged.groupby("_bucket").map_groups(merge,
+                                                batch_format="pandas")
+
+
+def count_distinct(ds, keys, col: str, *, out: str = "n_distinct",
+                   num_buckets: int = 32):
+    """Exact COUNT(DISTINCT col) per key: map-side dedup of (key, col)
+    pairs (each batch ships its distinct pairs only), one bucketed
+    exchange co-locating each key's pairs, then a vectorized per-key
+    distinct count. Two bounded passes, no global sort; shuffle rows are
+    bounded by distinct pairs, not input rows."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys + [col]].drop_duplicates()
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, keys, num_buckets)
+        return df
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop(columns=["_bucket"]).drop_duplicates()
+             .groupby(keys, as_index=False, dropna=False, observed=True)
+             .agg(**{out: (col, "size")}))
+        return g
+
+    from ..util import pin_for_shuffle
+
+    tagged = pin_for_shuffle(ds.map_batches(local_dedup,
+                                            batch_format="pandas"))
+    return tagged.groupby("_bucket").map_groups(count_bucket,
+                                                batch_format="pandas")
+
+
 def topk(ds, by: str, k: int, *, descending: bool = True, tie_col: str | None = None):
     """Global top-k without a global sort: per-batch partial top-k, then a
     single tiny combine (same shape as partial aggregation)."""

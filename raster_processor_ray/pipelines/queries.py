@@ -617,6 +617,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_top_orders_by_priority(sf_dir: str):
+    """GROUPED top-k (O5 extension): the 3 highest-value orders per
+    order priority — per-batch per-key partial top-k (map output bounded
+    at k rows per key per batch), one bucketed exchange, no global
+    sort. Ties broken by o_orderkey for determinism."""
+    from ..aggregate.relational import grouped_topk
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return grouped_topk(ds, "o_orderpriority", "o_totalprice", 3,
+                        tie_col="o_orderkey")
+
+
+SQL_TOP_ORDERS_BY_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: map-side pair dedup
+    -> one bucketed exchange -> vectorized per-key distinct count
+    (aggregate/relational.py count_distinct)."""
+    from ..aggregate.relational import count_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return count_distinct(ds, "event_type", "user_id")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact distributed median + p90 of the (cent-rounded) event value
     per event_type (aggregate/quantiles.py: bounded histogram exchange,
@@ -1541,6 +1580,8 @@ def queries() -> dict:
         "hourly_windows": q_hourly_windows,
         "sliding_windows": q_sliding_windows,
         "value_quantiles": q_value_quantiles,
+        "distinct_users": q_distinct_users,
+        "top_orders_by_priority": q_top_orders_by_priority,
         "range_join": q_range_join,
         "lang_counts": q_lang_counts,
         "token_counts": q_token_counts,
@@ -1594,6 +1635,8 @@ def oracle_sql() -> dict:
         "hourly_windows": SQL_HOURLY_WINDOWS,
         "sliding_windows": SQL_SLIDING_WINDOWS,
         "value_quantiles": SQL_VALUE_QUANTILES,
+        "distinct_users": SQL_DISTINCT_USERS,
+        "top_orders_by_priority": SQL_TOP_ORDERS_BY_PRIORITY,
         "range_join": SQL_RANGE_JOIN,
         "lang_counts": SQL_LANG_COUNTS,
         "token_counts": SQL_TOKEN_COUNTS,
