@@ -656,6 +656,19 @@ FROM events GROUP BY 1
 """
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
+    (aggregate/sketches.py): fixed 2^12-byte register block per
+    (key, batch) regardless of cardinality — the constant-memory
+    companion to the exact `distinct_users`. Approximate by design ->
+    rows-only driver check; accuracy (<5% err) and partition-invariance
+    are pinned by tests/test_sketches.py."""
+    from ..aggregate.sketches import hll_count_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_count_distinct(ds, "event_type", "user_id", p=12)
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact distributed median + p90 of the (cent-rounded) event value
     per event_type (aggregate/quantiles.py: bounded histogram exchange,
@@ -1581,6 +1594,7 @@ def queries() -> dict:
         "sliding_windows": q_sliding_windows,
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
+        "hll_users": q_hll_users,
         "top_orders_by_priority": q_top_orders_by_priority,
         "range_join": q_range_join,
         "lang_counts": q_lang_counts,
