@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "rasterize_samples", "geoloc_refined", "region_map", "dense_tiles",
     "tile_error_report", "range_join", "knn_bucketed", "dedup_cc",
     "minhash_dedup", "sliding_windows", "value_quantiles",
-    "distinct_users", "top_orders_by_priority",
+    "distinct_users", "top_orders_by_priority", "bloom_filter_orders",
+    "hll_users",
 ]
 
 

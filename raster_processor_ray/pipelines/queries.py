@@ -656,6 +656,30 @@ FROM events GROUP BY 1
 """
 
 
+def q_bloom_filter_orders(sf_dir: str):
+    """Bloom-filter broadcast semi-join (stages/bloom.py): orders of
+    high-balance customers. The broadcast bloom kills non-matching
+    orders BEFORE the shuffle; the exact semi-join pass removes bloom
+    false positives, so the result is exact and oracle-checked."""
+    from ..stages.bloom import bloom_semi_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    rich = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], 9000.0)),
+        batch_format="pyarrow")
+    return bloom_semi_join(orders, rich, "o_custkey", key_col="c_custkey",
+                           num_bits_log2=20)
+
+
+SQL_BLOOM_FILTER_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
 def q_hll_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
     (aggregate/sketches.py): fixed 2^12-byte register block per
@@ -1595,6 +1619,7 @@ def queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
+        "bloom_filter_orders": q_bloom_filter_orders,
         "top_orders_by_priority": q_top_orders_by_priority,
         "range_join": q_range_join,
         "lang_counts": q_lang_counts,
@@ -1650,6 +1675,7 @@ def oracle_sql() -> dict:
         "sliding_windows": SQL_SLIDING_WINDOWS,
         "value_quantiles": SQL_VALUE_QUANTILES,
         "distinct_users": SQL_DISTINCT_USERS,
+        "bloom_filter_orders": SQL_BLOOM_FILTER_ORDERS,
         "top_orders_by_priority": SQL_TOP_ORDERS_BY_PRIORITY,
         "range_join": SQL_RANGE_JOIN,
         "lang_counts": SQL_LANG_COUNTS,

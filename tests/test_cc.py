@@ -121,6 +121,31 @@ def test_attach_and_survivors():
     assert sorted(surv["doc_id"].astype(int)) == [0, 1, 2, 3, 5, 6, 8]
 
 
+def test_distributed_rounds_converge_on_large_random_graph():
+    """Scale-shape evidence: 200k edges over 60k nodes forced through
+    the DISTRIBUTED star rounds (threshold far below the input) must
+    converge within max_iters and match union-find. Star contraction
+    strictly shrinks toward one (child, root) edge per non-root node,
+    so the fixpoint hashsum check terminates in O(log^2 n) rounds."""
+    rng = np.random.default_rng(99)
+    n_nodes, n_edges = 60_000, 200_000
+    a = rng.integers(0, n_nodes, size=n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, size=n_edges).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(a), "v": pa.array(b)}))
+    out = connected_components(ds.repartition(8), num_buckets=16,
+                               single_task_threshold=50_000).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["comp"].astype(int)))
+    edges = list(zip(a.tolist(), b.tolist()))
+    want = _uf_components(edges)
+    touched = set()
+    for x, y in edges:
+        if x != y:
+            touched.add(x)
+            touched.add(y)
+    want = {k: v for k, v in want.items() if k in touched}
+    assert got == want
+
+
 def test_renamed_columns():
     ds = ray.data.from_pandas(pd.DataFrame({
         "a": np.array([1, 2], dtype=np.int64),
