@@ -656,6 +656,29 @@ FROM events GROUP BY 1
 """
 
 
+def q_orders_anti_join(sf_dir: str):
+    """Distributed ANTI join (hash_join how='anti'): orders whose
+    customer is NOT in the BUILDING market segment — the
+    keep-if-no-match dual of the semi-join family."""
+    from ..aggregate.relational import hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    seg = read_table(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table({"o_custkey": b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+    return hash_join(orders, seg, "o_custkey", how="anti")
+
+
+SQL_ORDERS_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 def q_bloom_filter_orders(sf_dir: str):
     """Bloom-filter broadcast semi-join (stages/bloom.py): orders of
     high-balance customers. The broadcast bloom kills non-matching
@@ -1620,6 +1643,7 @@ def queries() -> dict:
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "bloom_filter_orders": q_bloom_filter_orders,
+        "orders_anti_join": q_orders_anti_join,
         "top_orders_by_priority": q_top_orders_by_priority,
         "range_join": q_range_join,
         "lang_counts": q_lang_counts,
@@ -1676,6 +1700,7 @@ def oracle_sql() -> dict:
         "value_quantiles": SQL_VALUE_QUANTILES,
         "distinct_users": SQL_DISTINCT_USERS,
         "bloom_filter_orders": SQL_BLOOM_FILTER_ORDERS,
+        "orders_anti_join": SQL_ORDERS_ANTI_JOIN,
         "top_orders_by_priority": SQL_TOP_ORDERS_BY_PRIORITY,
         "range_join": SQL_RANGE_JOIN,
         "lang_counts": SQL_LANG_COUNTS,
