@@ -13,6 +13,7 @@
     python -m raster_processor_ray dedup     <docs_parquet> <out_dir>
         [--id-col C] [--text-col C] [--threshold J]
         [--num-perm P] [--num-bands B]
+    python -m raster_processor_ray query     <name|list> [--sf-dir D] [--out D]
 
 Owns its Ray session (guarded init: on a cluster, `ray job submit` has
 RAY_ADDRESS set and the existing session is used).
@@ -69,6 +70,11 @@ def main(argv=None):
     s.add_argument("--threshold", type=float, default=0.8)
     s.add_argument("--num-perm", type=int, default=128)
     s.add_argument("--num-bands", type=int, default=32)
+    s = sub.add_parser("query")
+    s.add_argument("name", help="a queries() entry name, or 'list'")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--out", default=None,
+                   help="optional parquet output directory")
     s = sub.add_parser("report")
     s.add_argument("proc", help="processed raster (resumable dir or parquet)")
     s.add_argument("truth", help="truth raster (resumable dir or parquet)")
@@ -103,6 +109,27 @@ def main(argv=None):
                                         num_shards=args.shards)
             print(json.dumps({"zone": zone, "band": band,
                               "shards": len(m), "rows": int(m.rows.sum())}))
+            return 0
+
+        if args.cmd == "query":
+            from .pipelines.queries import queries
+
+            qs = queries()
+            if args.name == "list":
+                print(json.dumps(sorted(qs)))
+                return 0
+            if args.name not in qs:
+                print(json.dumps({"error": f"unknown query {args.name!r}",
+                                  "available": sorted(qs)}))
+                return 2
+            res = qs[args.name](args.sf_dir)
+            if args.out is not None and hasattr(res, "write_parquet"):
+                res.write_parquet(args.out)
+                print(json.dumps({"query": args.name, "out": args.out}))
+                return 0
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(json.dumps({"query": args.name, "rows": int(len(df)),
+                              "columns": list(map(str, df.columns))}))
             return 0
 
         if args.cmd == "dedup":
