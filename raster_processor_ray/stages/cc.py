@@ -254,7 +254,14 @@ def connected_components(edges, *, u_col: str = "u", v_col: str = "v",
 
 def attach_components(ds, comp_labels, *, id_col: str, num_buckets: int = 32):
     """Left-join component labels onto a dataset; nodes absent from the
-    edge list (never paired with anything) become their own component."""
+    edge list (never paired with anything) become their own component.
+
+    Id-domain note: unmatched rows make the joined ``comp`` column
+    nullable, and the pandas reducer inside the join represents nullable
+    int64 as float64 — exact only for ids < 2^53. Sequential document
+    ids are fine up to ~9e15 (10^12-doc scale included); for full-width
+    64-bit HASH ids, join on the hash but carry labels for a narrow
+    surrogate id instead."""
     from ..aggregate.relational import hash_join
 
     def lab_cols(b: pa.Table) -> pa.Table:
