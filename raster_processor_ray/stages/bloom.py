@@ -56,14 +56,19 @@ def _probe_bits(words: np.ndarray, vals: np.ndarray, num_bits: int,
 
 
 def build_bloom(keys_ds, col: str, *, num_bits_log2: int = 24,
-                num_hashes: int = 5):
-    """Key dataset -> (bloom words ObjectRef, num_bits, k). Per-block
-    partial blooms are OR-reduced on the driver — bounded by
-    #blocks x 2^(b-3) bytes; swap in a tree reduce when block counts
-    reach 10^4+ (the partial fold is associative)."""
+                num_hashes: int = 5, tree_fanin: int = 16):
+    """Key dataset -> (bloom words ObjectRef, num_bits, k).
+
+    Per-block partial blooms OR-combine associatively. Few partials
+    (< ``tree_fanin``) fold directly on the driver; beyond that a
+    ``tree_fanin``-ary tree of Ray tasks reduces them, so driver memory
+    and wall time stay O(fanin x 2^(b-3) bytes) regardless of block
+    count — at 10^5 input blocks the driver never holds more than one
+    fan-in of register arrays."""
     import ray
 
     num_bits = 1 << num_bits_log2
+    nwords = num_bits // 64
 
     def fold(b: pa.Table) -> pa.Table:
         vals = np.asarray(b[col]).astype(np.uint64)
@@ -71,10 +76,22 @@ def build_bloom(keys_ds, col: str, *, num_bits_log2: int = 24,
         return pa.table({"_bloom": pa.array([words.tobytes()],
                                             type=pa.binary())})
 
-    parts = keys_ds.map_batches(fold, batch_format="pyarrow").take_all()
-    acc = np.zeros(num_bits // 64, dtype=np.uint64)
-    for p in parts:
-        acc |= np.frombuffer(p["_bloom"], dtype=np.uint64)
+    @ray.remote
+    def or_blobs(*blobs):
+        acc = np.zeros(nwords, dtype=np.uint64)
+        for blob in blobs:
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return acc.tobytes()
+
+    parts = [p["_bloom"] for p in
+             keys_ds.map_batches(fold, batch_format="pyarrow").take_all()]
+    while len(parts) > tree_fanin:
+        parts = [or_blobs.remote(*parts[i:i + tree_fanin])
+                 for i in range(0, len(parts), tree_fanin)]
+        parts = ray.get(parts)
+    acc = np.zeros(nwords, dtype=np.uint64)
+    for blob in parts:
+        acc |= np.frombuffer(blob, dtype=np.uint64)
     return ray.put(acc), num_bits, num_hashes
 
 

@@ -37,6 +37,21 @@ def test_bloom_semi_join_exact():
     assert sorted(out.columns) == ["k", "payload"]
 
 
+def test_bloom_tree_reduce_matches_direct():
+    """Many input blocks force the tree-reduce path; the OR fold is
+    associative so the filter must behave identically."""
+    rng = np.random.default_rng(44)
+    big = pd.DataFrame({
+        "k": rng.integers(0, 2000, size=30_000).astype(np.int64)})
+    keys = pd.DataFrame({"k": np.arange(200, dtype=np.int64)})
+    out = bloom_semi_join(
+        ray.data.from_pandas(big).repartition(4),
+        ray.data.from_pandas(keys).repartition(40),  # 40 partial blooms
+        "k", num_bits_log2=16).to_pandas()
+    want = big[big.k < 200]
+    assert len(out) == len(want)
+
+
 def test_bloom_inexact_mode_superset():
     rng = np.random.default_rng(43)
     big = pd.DataFrame({"k": rng.integers(0, 5000, 20_000).astype(np.int64)})
