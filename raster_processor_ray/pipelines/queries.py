@@ -940,6 +940,26 @@ def q_embed_near_dup(sf_dir: str):
     return cosine_near_dup_pairs(ds, threshold=0.35, num_bits=64, num_bands=8)
 
 
+def q_embed_dedup(sf_dir: str):
+    """Embedding-space dedup end-to-end: hyperplane-LSH cosine pairs ->
+    connected components -> min-id survivor per cluster (the
+    embedding-side mirror of minhash_dedup). Deterministic given the
+    seeded hyperplanes; rows-only driver check (CC itself is
+    oracle-checked by dedup_cc)."""
+    from ..stages.ann import cosine_near_dup_pairs
+    from ..stages.cc import component_survivors, connected_components
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    override_num_blocks=8)
+    pairs = cosine_near_dup_pairs(ds, threshold=0.35, num_bits=64,
+                                  num_bands=8)
+    labels = connected_components(pairs, u_col="id_a", v_col="id_b")
+    surv = component_survivors(ds.select_columns(["vec_id"]), labels,
+                               id_col="vec_id")
+    return surv.map_batches(lambda b: b.select(["vec_id"]),
+                            batch_format="pyarrow")
+
+
 def q_rasterize_samples(sf_dir: str):
     """The full SWOT-semantics rasterization (A1-A13 incl. two-pass
     fallback) over the deterministic samples table. Oracle = the per-cell
@@ -1652,6 +1672,7 @@ def queries() -> dict:
         "join_orders_customers": q_join_orders_customers,
         "subsample_docs": q_subsample_docs,
         "embed_near_dup": q_embed_near_dup,
+        "embed_dedup": q_embed_dedup,
         "rasterize_samples": q_rasterize_samples,
         "geoloc_refined": q_geoloc_refined,
         "geoloc_refined_full": q_geoloc_refined_full,
