@@ -263,6 +263,29 @@ def subsample_every_k(ds, k: int, index_col: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def stratified_subsample(ds, index_col: str, group_col: str,
+                         rates: dict, default_k: int):
+    """Deterministic PER-STRATUM 1-in-k decimation: each group keeps
+    rows where ``index % k_group == 0`` (``rates`` maps group value ->
+    k; others use ``default_k``). Pure map filter — no shuffle, no RNG,
+    reproducible at any cluster size/partitioning. The training-data
+    shape: downsample over-represented strata (e.g. per-language) while
+    keeping rare ones dense."""
+    import pyarrow as _pa
+
+    items = sorted(rates.items())
+
+    def f(b: _pa.Table) -> _pa.Table:
+        idx = np.asarray(b[index_col]).astype(np.int64)
+        grp = b[group_col].to_pandas().to_numpy(dtype=object)
+        k = np.full(len(idx), default_k, dtype=np.int64)
+        for gval, gk in items:
+            k[grp == gval] = gk
+        return b.filter(_pa.array(idx % k == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def grouped_topk(ds, keys, by: str, k: int, *, descending: bool = True,
                  tie_col: str | None = None, num_buckets: int = 32):
     """Top-k rows PER KEY without a global sort: per-batch per-key

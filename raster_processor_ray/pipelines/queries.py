@@ -924,6 +924,25 @@ def q_subsample_docs(sf_dir: str):
 SQL_SUBSAMPLE_DOCS = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0"
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic decimation: keep 1-in-3 'en' docs,
+    1-in-10 of every other language — the rebalancing sampler a
+    training-data pipeline applies to over-represented strata. Pure
+    filter (no shuffle, no RNG), exact SQL oracle."""
+    from ..aggregate.relational import stratified_subsample
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    return stratified_subsample(ds, "doc_id", "lang", {"en": 3},
+                                default_k=10)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % (CASE WHEN lang = 'en' THEN 3 ELSE 10 END) = 0
+"""
+
+
 def q_embed_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (random-hyperplane LSH ->
     candidate id pairs -> vector re-attach join -> exact verify).
@@ -1671,6 +1690,7 @@ def queries() -> dict:
         "ann_top5": q_ann_top5,
         "join_orders_customers": q_join_orders_customers,
         "subsample_docs": q_subsample_docs,
+        "stratified_sample": q_stratified_sample,
         "embed_near_dup": q_embed_near_dup,
         "embed_dedup": q_embed_dedup,
         "rasterize_samples": q_rasterize_samples,
@@ -1729,6 +1749,7 @@ def oracle_sql() -> dict:
         "ann_top5": SQL_ANN_TOP5,
         "join_orders_customers": SQL_JOIN_ORDERS_CUSTOMERS,
         "subsample_docs": SQL_SUBSAMPLE_DOCS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_cc": SQL_DEDUP_CC,
         "quality": SQL_QUALITY,
