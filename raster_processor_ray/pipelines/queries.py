@@ -640,6 +640,38 @@ SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
 """
 
 
+def q_value_quantiles_cont(sf_dir: str):
+    """INTERPOLATED (percentile_cont) median + p90 per event_type over
+    cent-rounded values — same bounded-histogram exchange, linear
+    interpolation at rank q*(n-1). Oracle: DuckDB's own quantile_cont
+    (identical definition); both sides rounded to 6 dp (interpolation
+    multiply order may differ in the last bits)."""
+    from ..aggregate.quantiles import quantile_cont
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "cents": pa.array(np.round(
+                np.asarray(b["value"]) * 100.0).astype(np.int64))})
+
+    out = quantile_cont(ds.map_batches(cents, batch_format="pyarrow"),
+                        "event_type", "cents", [0.5, 0.9])
+    return _round_cols(out, {"cq_50": 6, "cq_90": 6})
+
+
+SQL_VALUE_QUANTILES_CONT = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       round(quantile_cont(cents, 0.5), 6) AS cq_50,
+       round(quantile_cont(cents, 0.9), 6) AS cq_90
+FROM v GROUP BY 1
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per event_type: map-side pair dedup
     -> one bucketed exchange -> vectorized per-key distinct count
@@ -1679,6 +1711,7 @@ def queries() -> dict:
         "hourly_windows": q_hourly_windows,
         "sliding_windows": q_sliding_windows,
         "value_quantiles": q_value_quantiles,
+        "value_quantiles_cont": q_value_quantiles_cont,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "bloom_filter_orders": q_bloom_filter_orders,
@@ -1739,6 +1772,7 @@ def oracle_sql() -> dict:
         "hourly_windows": SQL_HOURLY_WINDOWS,
         "sliding_windows": SQL_SLIDING_WINDOWS,
         "value_quantiles": SQL_VALUE_QUANTILES,
+        "value_quantiles_cont": SQL_VALUE_QUANTILES_CONT,
         "distinct_users": SQL_DISTINCT_USERS,
         "bloom_filter_orders": SQL_BLOOM_FILTER_ORDERS,
         "orders_anti_join": SQL_ORDERS_ANTI_JOIN,

@@ -44,6 +44,32 @@ def test_quantiles_edges():
     assert got.loc["z", "q_50"] == 3 and got.loc["z", "q_100"] == 6
 
 
+def test_quantile_cont_matches_numpy_linear():
+    from raster_processor_ray.aggregate.quantiles import quantile_cont
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=4000),
+        "v": rng.integers(0, 700, size=4000).astype(np.int64)})
+    got = quantile_cont(ray.data.from_pandas(df).repartition(8),
+                        "k", "v", [0.5, 0.9]).to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        for q, col in [(0.5, "cq_50"), (0.9, "cq_90")]:
+            # np.percentile 'linear' is the same q*(n-1) interpolation
+            want = np.percentile(g["v"].to_numpy(), q * 100,
+                                 method="linear")
+            assert abs(got.loc[k, col] - want) < 1e-9, (k, q)
+
+
+def test_quantile_cont_single_value():
+    from raster_processor_ray.aggregate.quantiles import quantile_cont
+
+    df = pd.DataFrame({"k": ["x"], "v": np.array([7], dtype=np.int64)})
+    got = quantile_cont(ray.data.from_pandas(df), "k", "v",
+                        [0.5]).to_pandas()
+    assert float(got["cq_50"].iloc[0]) == 7.0
+
+
 def test_quantiles_multikey():
     rng = np.random.default_rng(12)
     df = pd.DataFrame({
