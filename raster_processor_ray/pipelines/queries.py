@@ -1686,6 +1686,162 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 graft extensions: radius join, zonal PIP stats, keyed window
+# functions, rollup, top terms, z-order clustering keys
+# ---------------------------------------------------------------------------
+
+RADIUS_M = 3_000_000.0  # 3000 km: each site catches a global subset
+
+
+def q_radius_join(sf_dir: str):
+    """Distance θ-join (stages/radius.py): docs within 3000 km of any
+    site, long form. Predicate on the central-angle cosine (exact
+    float64 parity with the SQL); output distance rounded."""
+    from ..stages.radius import radius_join
+
+    ds = _docs_with_geo(sf_dir)
+    out = radius_join(ds, KNN_SITES.site_id.to_numpy(),
+                      KNN_SITES.lat.to_numpy(), KNN_SITES.lon.to_numpy(),
+                      RADIUS_M)
+
+    def fin(b: pa.Table) -> pa.Table:
+        dist_km = np.asarray(b["dist_m"], dtype=np.float64) / 1000.0
+        b = b.select(["doc_id", "site_id"])
+        return b.append_column("dist_km", pa.array(np.round(dist_km, 6)))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_RADIUS_SQL_ARMS = []
+for _i, _s in KNN_SITES.iterrows():
+    _RADIUS_SQL_ARMS.append(
+        f"SELECT doc_id, {int(_s.site_id)} AS site_id, {_KNN_SQL_DOTS[_i]} AS dot "
+        f"FROM documents")
+SQL_RADIUS_JOIN = f"""
+WITH dots AS ({' UNION ALL '.join(_RADIUS_SQL_ARMS)})
+SELECT doc_id, site_id,
+       round(6371008.8 * acos(least(1.0, greatest(-1.0, dot))) / 1000.0, 6)
+         AS dist_km
+FROM dots WHERE dot >= cos({RADIUS_M} / 6371008.8)
+"""
+
+
+def q_pip_zonal(sf_dir: str):
+    """J5 inner PIP + A1 zonal stats per polygon: count and masked mean
+    of n_chars per label (the raster-region zonal-summary shape,
+    make_raster_region_maps.py's per-region stats)."""
+    ds = _docs_with_geo(sf_dir)
+    joined = pip_join(ds, _poly_specs(), "inner")
+    out = hash_aggregate(joined, "label", {
+        "n": (None, "count"),
+        "mean_n_chars": ("n_chars", "mean"),
+    })
+    return _round_cols(out, {"mean_n_chars": 6})
+
+
+SQL_PIP_ZONAL = f"""
+SELECT 'box' AS label, count(*) AS n, round(avg(n_chars), 6) AS mean_n_chars
+FROM documents WHERE {BOX_SQL_COND}
+UNION ALL
+SELECT 'tri' AS label, count(*) AS n, round(avg(n_chars), 6) AS mean_n_chars
+FROM documents WHERE {TRI_SQL_COND}
+"""
+
+
+def q_event_deltas(sf_dir: str):
+    """§2.9 keyed window functions (stages/windows.py keyed_lag_deltas):
+    per-user row_number + lag delta seconds, bucketed shuffle +
+    vectorized across keys (never per-key map_groups)."""
+    from ..stages.windows import keyed_lag_deltas
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = keyed_lag_deltas(ds, "user_id", "ts", tie_col="event_id")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["delta_s"] = df["delta_s"].round(6)
+        return df[["event_id", "user_id", "rn", "delta_s"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENT_DELTAS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       round(coalesce(epoch(ts - lag(ts) OVER w), -1.0), 6) AS delta_s
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rollup_pricing(sf_dir: str):
+    """ROLLUP hierarchy (aggregate/rollup.py): (flag, status), (flag),
+    grand total — input scanned once, coarser levels folded from the
+    bounded finest aggregate. sum(l_quantity) is exact (integer-valued
+    doubles), so no rounding is needed at any level."""
+    from ..aggregate.rollup import rollup_aggregate
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_aggregate(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "n": (None, "count"),
+    })
+
+
+SQL_ROLLUP_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Document-frequency pipeline: ASCII term counts per language
+    (bounded map-side partials) -> one hash aggregate -> grouped top-5
+    per language (ties broken by token)."""
+    from ..aggregate.relational import grouped_topk
+    from ..stages.text import term_count_partials
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    partials = ds.map_batches(term_count_partials, batch_format="pyarrow")
+    counts = hash_aggregate(partials, ["lang", "tok"], {"n": ("n", "sum")})
+    return grouped_topk(counts, "lang", "n", 5, tie_col="tok")
+
+
+SQL_TOP_TERMS = """
+WITH toks AS (
+  SELECT lang, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS tok
+  FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT lang, tok, n FROM counts
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) <= 5
+"""
+
+
+def q_zorder_keys(sf_dir: str):
+    """Morton clustering keys (geo/zorder.py) of each doc's 1-degree
+    cell — the write-locality sort key, oracle-checked bit-for-bit."""
+    from ..geo.zorder import add_zorder_column
+
+    ds = add_zorder_column(_docs_with_geo(sf_dir))
+    return ds.map_batches(lambda b: b.select(["doc_id", "zkey"]),
+                          batch_format="pyarrow")
+
+
+def _sql_zorder() -> str:
+    from ..geo.zorder import zorder_sql
+
+    ix = f"CAST(FLOOR(({SQL_LON}) + 180.0) AS BIGINT)"
+    iy = f"CAST(FLOOR(({SQL_LAT}) + 90.0) AS BIGINT)"
+    return f"SELECT doc_id, {zorder_sql(ix, iy)} AS zkey FROM documents"
+
+
+SQL_ZORDER_KEYS = _sql_zorder()
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -1745,6 +1901,12 @@ def queries() -> dict:
         "quality": q_quality,
         "flagship_tiles": q_flagship_tiles,
         "tile_error_report": q_tile_error_report,
+        "radius_join_sites": q_radius_join,
+        "pip_zonal": q_pip_zonal,
+        "event_deltas": q_event_deltas,
+        "rollup_pricing": q_rollup_pricing,
+        "top_terms": q_top_terms,
+        "zorder_keys": q_zorder_keys,
     }
 
 
@@ -1793,4 +1955,10 @@ def oracle_sql() -> dict:
         "region_map": SQL_REGION_MAP,
         "wse_corrections": SQL_WSE_CORRECTIONS,
         "tile_error_report": SQL_TILE_ERROR_REPORT,
+        "radius_join_sites": SQL_RADIUS_JOIN,
+        "pip_zonal": SQL_PIP_ZONAL,
+        "event_deltas": SQL_EVENT_DELTAS,
+        "rollup_pricing": SQL_ROLLUP_PRICING,
+        "top_terms": SQL_TOP_TERMS,
+        "zorder_keys": SQL_ZORDER_KEYS,
     }

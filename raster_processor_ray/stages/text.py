@@ -247,6 +247,37 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("n_bpe_tokens", pa.array(bpe))
 
 
+def term_count_partials(batch: pa.Table, *, text_col: str = "text",
+                        group_col: str = "lang") -> pa.Table:
+    """Per-batch partial term frequencies: (group, tok, n) for ASCII
+    alnum tokens — the map side of a document-frequency / top-terms
+    pipeline (feed into ``hash_aggregate((group, tok), n=sum)``).
+
+    Tokenization is deliberately ASCII-only (``[A-Za-z0-9]+`` then
+    lower) so it is bit-identical to the DuckDB oracle's
+    ``lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+')))`` —
+    pure-ASCII tokens make Python/Arrow/DuckDB ``lower`` agree. One RE2
+    split for ALL docs in the batch; the per-(group, tok) partial count
+    is one pandas hash groupby (C kernel). Map output is bounded by
+    distinct (group, tok) pairs per batch, not token occurrences.
+    """
+    t = _as_string_array(batch[text_col])
+    toks = pc.split_pattern_regex(t, r"[^A-Za-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.utf8_lower(toks.flatten())
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    n_per_doc = offsets[1:] - offsets[:-1]
+    grp = _as_string_array(batch[group_col])
+    df = pd.DataFrame({
+        group_col: np.repeat(np.asarray(grp, dtype=object), n_per_doc),
+        "tok": flat.to_numpy(zero_copy_only=False),
+    })
+    df = df[df["tok"] != ""]
+    out = df.groupby([group_col, "tok"], sort=False).size().reset_index(name="n")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _trim_utf8_window(data: np.ndarray, start: np.ndarray,
                       stop: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized equivalent of ``bytes.decode('utf-8','ignore')`` +

@@ -59,3 +59,56 @@ def sliding_window_aggregate(ds, ts_col: str, keys: list[str], spec: dict,
                                      slide_us=slide_us)
     return hash_aggregate(expanded, ["window_start"] + list(keys), spec,
                           num_buckets=num_buckets)
+
+
+def keyed_lag_deltas(ds, key: str, ts_col: str, *, tie_col: str | None = None,
+                     rn_col: str = "rn", delta_col: str = "delta_s",
+                     num_buckets: int = 64):
+    """Per-key ordered window functions: 1-based ``row_number`` and the
+    lag delta to the previous event in seconds (first event per key:
+    -1.0 sentinel — a sentinel, not NULL, so both engines sort/hash the
+    column identically).
+
+    SQL equivalent: ``row_number() OVER w`` and
+    ``epoch(ts - lag(ts) OVER w)`` with
+    ``w AS (PARTITION BY key ORDER BY ts[, tie_col])``.
+
+    Scale shape (same as sessionize, stages/sessionize.py): shuffle on
+    ``hash(key) % num_buckets`` — O(buckets) group invocations, never
+    O(distinct keys) — then ONE sort + diff/cumcount vectorized across
+    every key in the bucket. Ordering is only assumed within a bucket's
+    sorted frame. ``tie_col`` must make (key, ts, tie) unique for a
+    deterministic result (e.g. an event id).
+    """
+    import pandas as pd
+
+    from ..util import pin_for_shuffle
+    from .sessionize import _with_bucket
+
+    sort_cols = [key, ts_col] + ([tie_col] if tie_col else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[rn_col] = np.array([], dtype=np.int64)
+            df[delta_col] = np.array([], dtype=np.float64)
+            return df
+        k = df[key]
+        same_key = k.eq(k.shift(1)).to_numpy(dtype=bool)
+        starts = np.flatnonzero(~same_key)
+        counts = np.diff(np.append(starts, n))
+        idx = np.arange(n, dtype=np.int64)
+        df[rn_col] = idx - np.repeat(starts, counts) + 1
+        ts_us = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        delta = np.empty(n, dtype=np.float64)
+        delta[1:] = (ts_us[1:] - ts_us[:-1]) / 1_000_000.0
+        delta[0] = -1.0
+        delta[~same_key] = -1.0
+        df[delta_col] = delta
+        return df
+
+    return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -1,0 +1,166 @@
+"""Round-3 extension operators: radius join, keyed lag/lead windows,
+ROLLUP, term counts, z-order keys — each vs a NumPy/pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from raster_processor_ray.geo.zorder import (add_zorder_column, zorder_key,
+                                             zorder_sql)
+from raster_processor_ray.stages.radius import EARTH_R, radius_join
+from raster_processor_ray.stages.text import term_count_partials
+from raster_processor_ray.stages.windows import keyed_lag_deltas
+
+
+def _haversine_m(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = p2 - p1
+    dlmb = np.radians(lon2) - np.radians(lon1)
+    h = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2) ** 2
+    return 2 * EARTH_R * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+def test_radius_join_vs_haversine():
+    rng = np.random.default_rng(31)
+    n = 4000
+    df = pd.DataFrame({"pid": np.arange(n, dtype=np.int64),
+                       "lat": rng.uniform(-80, 80, n),
+                       "lon": rng.uniform(-180, 180, n)})
+    sites = pd.DataFrame({"site_id": np.array([1, 2], dtype=np.int64),
+                          "lat": [10.0, -40.0], "lon": [20.0, -100.0]})
+    r = 2_500_000.0
+    got = radius_join(ray.data.from_pandas(df).repartition(6),
+                      sites.site_id.to_numpy(), sites.lat.to_numpy(),
+                      sites.lon.to_numpy(), r, concurrency=2).to_pandas()
+    want_pairs = set()
+    for _, s in sites.iterrows():
+        d = _haversine_m(df.lat.to_numpy(), df.lon.to_numpy(), s.lat, s.lon)
+        for pid in df.pid.to_numpy()[d <= r]:
+            want_pairs.add((int(pid), int(s.site_id)))
+    got_pairs = set(zip(got.pid.astype(int), got.site_id.astype(int)))
+    assert got_pairs == want_pairs
+    # distances agree with haversine to numerical tolerance
+    d1 = _haversine_m(got.lat.to_numpy(), got.lon.to_numpy(),
+                      sites.set_index("site_id").lat[got.site_id].to_numpy(),
+                      sites.set_index("site_id").lon[got.site_id].to_numpy())
+    assert np.allclose(got.dist_m.to_numpy(), d1, atol=1.0)
+    assert (got.dist_m.to_numpy() <= r + 1e-6).all()
+
+
+def test_radius_join_empty_batch():
+    # empty-batch path of the stage itself (Ray skips UDFs on a fully
+    # empty dataset, so exercise the actor class directly)
+    from raster_processor_ray.stages.radius import RadiusJoin
+
+    ref = ray.put((np.array([1], dtype=np.int64), np.array([0.0]),
+                   np.array([0.0])))
+    stage = RadiusJoin(ref, 1e6)
+    out = stage(pa.table({"pid": pa.array([], type=pa.int64()),
+                          "lat": pa.array([], type=pa.float64()),
+                          "lon": pa.array([], type=pa.float64())}))
+    assert out.num_rows == 0
+    assert {"site_id", "dist_m"} <= set(out.column_names)
+
+
+def test_keyed_lag_deltas_vs_pandas():
+    rng = np.random.default_rng(32)
+    n = 5000
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "uid": rng.integers(0, 300, n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 10**9, n), unit="us"),
+    })
+    got = keyed_lag_deltas(ray.data.from_pandas(df).repartition(7),
+                           "uid", "ts", tie_col="eid").to_pandas()
+    want = df.sort_values(["uid", "ts", "eid"], kind="mergesort").copy()
+    want["rn"] = want.groupby("uid").cumcount() + 1
+    d = want.groupby("uid")["ts"].diff().dt.total_seconds()
+    want["delta_s"] = d.fillna(-1.0)
+    key = ["uid", "eid"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert (g.rn.to_numpy() == w.rn.to_numpy()).all()
+    assert np.allclose(g.delta_s.to_numpy(), w.delta_s.to_numpy())
+
+
+def test_rollup_vs_pandas():
+    from raster_processor_ray.aggregate.rollup import rollup_aggregate
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 2000),
+                       "b": rng.choice(["p", "q", "r"], 2000),
+                       "v": rng.integers(0, 50, 2000).astype(float)})
+    got = rollup_aggregate(ray.data.from_pandas(df).repartition(5),
+                           ["a", "b"], {"sv": ("v", "sum"),
+                                        "n": (None, "count")})
+    assert len(got) == 2 * 3 + 2 + 1
+    fin = got[(got.a != "ALL") & (got.b != "ALL")].set_index(["a", "b"])
+    want = df.groupby(["a", "b"]).agg(sv=("v", "sum"), n=("v", "size"))
+    for k, row in want.iterrows():
+        assert fin.loc[k, "n"] == row.n and abs(fin.loc[k, "sv"] - row.sv) < 1e-9
+    tot = got[(got.a == "ALL") & (got.b == "ALL")]
+    assert int(tot.n.iloc[0]) == 2000
+    assert abs(float(tot.sv.iloc[0]) - df.v.sum()) < 1e-9
+    mid = got[(got.a != "ALL") & (got.b == "ALL")]
+    assert len(mid) == 2 and int(mid.n.sum()) == 2000
+
+
+def test_rollup_rejects_non_additive():
+    import pytest
+
+    from raster_processor_ray.aggregate.rollup import rollup_aggregate
+
+    with pytest.raises(ValueError):
+        rollup_aggregate(None, ["a"], {"m": ("v", "mean")})
+
+
+def test_term_count_partials():
+    batch = pa.table({
+        "lang": ["en", "en", "fr"],
+        "text": ["The cat the Cat sat", "cat! dog?", "le chat le chat le"],
+    })
+    out = term_count_partials(batch).to_pandas()
+    c = {(r.lang, r.tok): r.n for r in out.itertuples()}
+    assert c[("en", "the")] == 2 and c[("en", "cat")] == 3
+    assert c[("en", "sat")] == 1 and c[("en", "dog")] == 1
+    assert c[("fr", "le")] == 3 and c[("fr", "chat")] == 2
+    # unicode outside [A-Za-z0-9] never produces tokens
+    out2 = term_count_partials(pa.table({"lang": ["zh"], "text": ["汉字 abc 汉"]}))
+    assert out2.to_pandas().tok.tolist() == ["abc"]
+
+
+def test_zorder_key_pinned_and_locality():
+    # pinned: interleave of small values (Morton 1966 layout)
+    assert zorder_key(np.array([0]), np.array([0]))[0] == 0
+    assert zorder_key(np.array([1]), np.array([0]))[0] == 1
+    assert zorder_key(np.array([0]), np.array([1]))[0] == 2
+    assert zorder_key(np.array([3]), np.array([5]))[0] == 0b100111
+    # any aligned 2^b x 2^b square is one contiguous key range
+    ix, iy = np.meshgrid(np.arange(8, 16), np.arange(24, 32))
+    z = zorder_key(ix.ravel(), iy.ravel())
+    z.sort()
+    assert z[-1] - z[0] == 63 and len(np.unique(z)) == 64
+
+
+def test_zorder_sql_matches_kernel():
+    import duckdb
+
+    rng = np.random.default_rng(34)
+    ix = rng.integers(0, 360, 500)
+    iy = rng.integers(0, 180, 500)
+    want = zorder_key(ix, iy)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"ix": ix, "iy": iy}))
+    got = con.execute(
+        f"SELECT {zorder_sql('ix', 'iy')} AS z FROM t").df().z.to_numpy()
+    assert (got == want).all()
+
+
+def test_add_zorder_column_round_trip():
+    df = pd.DataFrame({"lat": [-89.5, 0.0, 45.25], "lon": [-179.5, 0.0, 120.75]})
+    out = add_zorder_column(ray.data.from_pandas(df)).to_pandas()
+    iy = np.floor(df.lat.to_numpy() + 90.0).astype(np.int64)
+    ix = np.floor(df.lon.to_numpy() + 180.0).astype(np.int64)
+    assert (out.zkey.to_numpy() == zorder_key(ix, iy)).all()
