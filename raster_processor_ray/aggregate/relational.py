@@ -173,6 +173,15 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     on = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(how)
+    # pin BOTH sides before touching .schema(): on a lazy chain schema()
+    # executes the upstream plan, and the shuffle pin below would then
+    # execute it a second time (measured 2.6x on the minhash->verify->CC
+    # chain, whose joins each consumed an expensive lazy input twice).
+    # The union all-to-all materializes these bytes regardless.
+    from ..util import pin_for_shuffle
+
+    left = pin_for_shuffle(left)
+    right = pin_for_shuffle(right)
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
