@@ -47,7 +47,8 @@ BENCH_QUERIES = [
     "tile_error_report", "range_join", "knn_bucketed", "dedup_cc",
     "minhash_dedup", "sliding_windows", "value_quantiles",
     "distinct_users", "top_orders_by_priority", "bloom_filter_orders",
-    "hll_users",
+    "hll_users", "radius_join_sites", "event_deltas", "rollup_pricing",
+    "top_terms", "zorder_keys",
 ]
 
 
