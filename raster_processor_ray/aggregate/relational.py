@@ -184,6 +184,19 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     right = pin_for_shuffle(right)
     lschema = left.schema()
     rschema = right.schema()
+    # a fully EMPTY materialized dataset reports schema None; handle the
+    # join forms whose result doesn't need the missing columns
+    if lschema is None:
+        return left          # empty: inner/left/semi/anti of nothing is nothing
+    if rschema is None:
+        if how == "anti":
+            return left      # nothing to subtract
+        if how == "semi":
+            return left.limit(0)
+        raise ValueError(
+            "hash_join: right side is empty with unknown schema; "
+            "inner/left need the right-side columns — pass a typed "
+            "empty dataset or guard the call")
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     # disambiguate right columns that CONFLICT with left ones (pandas

@@ -1842,6 +1842,63 @@ def _sql_zorder() -> str:
 SQL_ZORDER_KEYS = _sql_zorder()
 
 
+def q_raster_regions(sf_dir: str):
+    """Raster -> vector (stages/regions.py): occupied 10-degree cells ->
+    4-adjacency edges -> distributed CC -> one vector record per
+    connected region (cell count, doc count, bounding box). Oracle:
+    recursive min-label propagation in SQL."""
+    from ..stages.regions import extract_regions
+
+    ds = _docs_with_geo(sf_dir)
+
+    def to_ixiy(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        iy = np.floor((lat + 90.0) / 10.0).astype(np.int64)
+        ix = np.floor((lon + 180.0) / 10.0).astype(np.int64)
+        return pa.table({"iy": pa.array(iy), "ix": pa.array(ix)})
+
+    cells = hash_aggregate(ds.map_batches(to_ixiy, batch_format="pyarrow"),
+                           ["iy", "ix"], {"docs": (None, "count")})
+
+    def add_cell(b: pa.Table) -> pa.Table:
+        iy = np.asarray(b["iy"]).astype(np.int64)
+        ix = np.asarray(b["ix"]).astype(np.int64)
+        return b.append_column("cell", pa.array(iy * 36 + ix))
+
+    cells = cells.map_batches(add_cell, batch_format="pyarrow")
+    return extract_regions(cells, nx=36, weight_col="docs")
+
+
+SQL_RASTER_REGIONS = f"""
+WITH cells AS (
+  SELECT CAST(FLOOR((({SQL_LAT}) + 90.0) / 10.0) AS BIGINT) AS iy,
+         CAST(FLOOR((({SQL_LON}) + 180.0) / 10.0) AS BIGINT) AS ix,
+         count(*) AS docs
+  FROM documents GROUP BY 1, 2
+), ids AS (
+  SELECT iy * 36 + ix AS cell, iy, ix, docs FROM cells
+), adj AS (
+  SELECT a.cell AS u, b.cell AS v FROM ids a JOIN ids b
+    ON (b.iy = a.iy AND b.ix = a.ix + 1) OR (b.iy = a.iy + 1 AND b.ix = a.ix)
+), bidir AS (
+  SELECT u, v FROM adj UNION SELECT v, u FROM adj
+), rec AS (
+  WITH RECURSIVE reach(cell, lbl) AS (
+    SELECT cell, cell FROM ids
+    UNION
+    SELECT b.v, r.lbl FROM reach r JOIN bidir b ON b.u = r.cell
+    WHERE r.lbl < b.v
+  ) SELECT cell, min(lbl) AS region FROM reach GROUP BY 1
+)
+SELECT r.region, count(*) AS n_cells, CAST(sum(i.docs) AS BIGINT) AS n_docs,
+       min(i.ix) AS ix_min, max(i.ix) AS ix_max,
+       min(i.iy) AS iy_min, max(i.iy) AS iy_max
+FROM rec r JOIN ids i USING (cell)
+GROUP BY 1
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -1907,6 +1964,7 @@ def queries() -> dict:
         "rollup_pricing": q_rollup_pricing,
         "top_terms": q_top_terms,
         "zorder_keys": q_zorder_keys,
+        "raster_regions": q_raster_regions,
     }
 
 
@@ -1961,4 +2019,5 @@ def oracle_sql() -> dict:
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "top_terms": SQL_TOP_TERMS,
         "zorder_keys": SQL_ZORDER_KEYS,
+        "raster_regions": SQL_RASTER_REGIONS,
     }

@@ -268,6 +268,10 @@ def attach_components(ds, comp_labels, *, id_col: str, num_buckets: int = 32):
         return pa.table({id_col: b["node"], "comp": b["comp"]})
 
     lab = comp_labels.map_batches(lab_cols, batch_format="pyarrow")
+    if lab.materialize().schema() is None:   # no edges at all: every node
+        def own(b: pa.Table) -> pa.Table:    # is its own component
+            return b.append_column("comp", b[id_col].cast(pa.int64()))
+        return ds.map_batches(own, batch_format="pyarrow")
     joined = hash_join(ds, lab, on=id_col, how="left",
                        num_buckets=num_buckets)
 

@@ -158,6 +158,70 @@ def test_zorder_sql_matches_kernel():
     assert (got == want).all()
 
 
+def _label_regions_numpy(mask: np.ndarray) -> np.ndarray:
+    """4-connectivity labeling by BFS flood fill (test oracle)."""
+    lab = np.full(mask.shape, -1, dtype=np.int64)
+    ny, nx = mask.shape
+    for sy in range(ny):
+        for sx in range(nx):
+            if not mask[sy, sx] or lab[sy, sx] >= 0:
+                continue
+            root = sy * nx + sx
+            stack = [(sy, sx)]
+            lab[sy, sx] = root
+            while stack:
+                y, x = stack.pop()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < ny and 0 <= xx < nx and mask[yy, xx] \
+                            and lab[yy, xx] < 0:
+                        lab[yy, xx] = root
+                        stack.append((yy, xx))
+    return lab
+
+
+def test_extract_regions_vs_flood_fill():
+    from raster_processor_ray.stages.regions import extract_regions
+
+    rng = np.random.default_rng(35)
+    ny, nx = 20, 30
+    mask = rng.random((ny, nx)) < 0.45
+    lab = _label_regions_numpy(mask)
+    iy, ix = np.nonzero(mask)
+    cells = pd.DataFrame({
+        "iy": iy.astype(np.int64), "ix": ix.astype(np.int64),
+        "cell": (iy * nx + ix).astype(np.int64),
+        "w": np.ones(len(iy), dtype=np.int64)})
+    got = extract_regions(ray.data.from_pandas(cells).repartition(4),
+                          nx=nx, weight_col="w").to_pandas()
+    want = pd.DataFrame({"region": lab[mask]}).groupby("region").size()
+    assert len(got) == len(want)
+    g = got.set_index("region")["n_cells"].sort_index()
+    assert (g.index.to_numpy() == want.index.to_numpy()).all()
+    assert (g.to_numpy() == want.to_numpy()).all()
+    assert (got.n_w == got.n_cells).all()  # unit weights
+    # bbox sanity on the min-id region
+    r0 = int(want.index[0])
+    sel = lab == r0
+    ys, xs = np.nonzero(sel)
+    row = got[got.region == r0].iloc[0]
+    assert (row.ix_min, row.ix_max, row.iy_min, row.iy_max) == \
+        (xs.min(), xs.max(), ys.min(), ys.max())
+
+
+def test_extract_regions_no_wrap():
+    from raster_processor_ray.stages.regions import extract_regions
+
+    # two cells at the row seam (ix = nx-1 and ix = 0, same iy) must NOT merge
+    nx = 8
+    cells = pd.DataFrame({"iy": [3, 3], "ix": [7, 0],
+                          "cell": [3 * nx + 7, 3 * nx + 0],
+                          "w": [1, 1]})
+    got = extract_regions(ray.data.from_pandas(cells), nx=nx,
+                          weight_col="w").to_pandas()
+    assert len(got) == 2 and (got.n_cells == 1).all()
+
+
 def test_add_zorder_column_round_trip():
     df = pd.DataFrame({"lat": [-89.5, 0.0, 45.25], "lon": [-179.5, 0.0, 120.75]})
     out = add_zorder_column(ray.data.from_pandas(df)).to_pandas()
