@@ -369,6 +369,32 @@ def count_distinct(ds, keys, col: str, *, out: str = "n_distinct",
                                                 batch_format="pandas")
 
 
+def pivot_counts(ds, key, pivot_col: str, values: list, *,
+                 prefix: str = "n_", total_col: str | None = "n_total",
+                 num_buckets: int = 32):
+    """Crosstab / PIVOT: one row per key, one count column per pivot
+    value (SQL ``count(*) FILTER (WHERE pivot = v)``), plus an optional
+    total. The value list is caller-supplied (a pivot's output schema
+    must be bounded and known — at scale, derive it from a distinct scan
+    first). Map side appends 0/1 indicator columns (one vectorized
+    ``pc.equal`` per value), then ONE hash aggregate sums them: a single
+    bounded shuffle regardless of how many pivot columns."""
+    def add_indicators(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = b[pivot_col]
+        for v in values:
+            b = b.append_column(f"__ind_{v}",
+                                pc.equal(col, v).cast(pa.int64()))
+        return b
+
+    spec = {f"{prefix}{v}": (f"__ind_{v}", "sum") for v in values}
+    if total_col:
+        spec[total_col] = (None, "count")
+    return hash_aggregate(ds.map_batches(add_indicators,
+                                         batch_format="pyarrow"),
+                          key, spec, num_buckets=num_buckets)
+
+
 def topk(ds, by: str, k: int, *, descending: bool = True, tie_col: str | None = None):
     """Global top-k without a global sort: per-batch partial top-k, then a
     single tiny combine (same shape as partial aggregation)."""

@@ -1842,6 +1842,98 @@ def _sql_zorder() -> str:
 SQL_ZORDER_KEYS = _sql_zorder()
 
 
+_PIVOT_LANGS = ["de", "en", "fr", "ja", "zh"]
+
+
+def q_pivot_lang(sf_dir: str):
+    """PIVOT / crosstab (aggregate/relational.py pivot_counts): per
+    source, doc counts by language as wide columns — one bounded
+    shuffle regardless of pivot width."""
+    from ..aggregate.relational import pivot_counts
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    return pivot_counts(ds, "source", "lang", _PIVOT_LANGS)
+
+
+SQL_PIVOT_LANG = f"""
+SELECT source,
+       {', '.join(f"count(*) FILTER (WHERE lang = '{v}') AS n_{v}"
+                  for v in _PIVOT_LANGS)},
+       count(*) AS n_total
+FROM documents GROUP BY 1
+"""
+
+
+def q_parts_intersect(sf_dir: str):
+    """Set INTERSECT of two derived key sets (distinct parts shipped
+    early AND shipped late): map-side distinct on each side, one
+    bucketed semi join, final dedup — shuffle bounded by distinct keys."""
+    from ..stages.dedup import exact_dedup
+
+    import pyarrow.compute as pc
+
+    from ..aggregate.relational import hash_join
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def keys_where(op, cutoff):
+        cut = np.datetime64(cutoff, "us")
+
+        def f(b: pa.Table) -> pa.Table:
+            mask = op(b["l_shipdate"], pa.scalar(cut))
+            return b.filter(mask).select(["l_partkey"])
+        return f
+
+    early_k = exact_dedup(
+        ds.map_batches(keys_where(pc.less, "1996-01-01"),
+                       batch_format="pyarrow"), "l_partkey")
+    late_k = exact_dedup(
+        ds.map_batches(keys_where(pc.greater_equal, "2000-01-01"),
+                       batch_format="pyarrow"), "l_partkey")
+    return hash_join(early_k, late_k, "l_partkey", how="semi")
+
+SQL_PARTS_INTERSECT = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate < '1996-01-01'
+INTERSECT
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate >= '2000-01-01'
+"""
+
+
+def q_event_quartiles(sf_dir: str):
+    """ntile window function (stages/windows.py keyed_ntile): per event
+    type, quartile of each event by value (ANSI larger-groups-first
+    split), aggregated to quartile sums for a bounded result."""
+    from ..stages.windows import keyed_ntile
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return b.append_column("cents", pa.array(np.round(
+            np.asarray(b["value"]) * 100.0).astype(np.int64)))
+
+    tiled = keyed_ntile(ds.map_batches(cents, batch_format="pyarrow"),
+                        "event_type", "cents", 4, tie_col="event_id")
+    return hash_aggregate(tiled, ["event_type", "tile"], {
+        "n": (None, "count"),
+        "sum_cents": ("cents", "sum"),
+    })
+
+
+SQL_EVENT_QUARTILES = """
+WITH t AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY CAST(round(value * 100) AS BIGINT),
+                                 event_id) AS tile
+  FROM events
+)
+SELECT event_type, tile, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_raster_regions(sf_dir: str):
     """Raster -> vector (stages/regions.py): occupied 10-degree cells ->
     4-adjacency edges -> distributed CC -> one vector record per
@@ -1965,6 +2057,9 @@ def queries() -> dict:
         "top_terms": q_top_terms,
         "zorder_keys": q_zorder_keys,
         "raster_regions": q_raster_regions,
+        "pivot_lang": q_pivot_lang,
+        "parts_intersect": q_parts_intersect,
+        "event_quartiles": q_event_quartiles,
     }
 
 
@@ -2020,4 +2115,7 @@ def oracle_sql() -> dict:
         "top_terms": SQL_TOP_TERMS,
         "zorder_keys": SQL_ZORDER_KEYS,
         "raster_regions": SQL_RASTER_REGIONS,
+        "pivot_lang": SQL_PIVOT_LANG,
+        "parts_intersect": SQL_PARTS_INTERSECT,
+        "event_quartiles": SQL_EVENT_QUARTILES,
     }

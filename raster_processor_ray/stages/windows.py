@@ -112,3 +112,50 @@ def keyed_lag_deltas(ds, key: str, ts_col: str, *, tie_col: str | None = None,
     return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def keyed_ntile(ds, key: str, order_col: str, k: int, *,
+                tie_col: str | None = None, out_col: str = "tile",
+                num_buckets: int = 64):
+    """SQL ``ntile(k) OVER (PARTITION BY key ORDER BY order_col[, tie])``:
+    split each key's ordered rows into k groups as evenly as possible,
+    LARGER groups first (n = q*k + r -> the first r groups get q+1 rows
+    — the ANSI definition DuckDB/Postgres implement).
+
+    Same bounded-bucket shape as :func:`keyed_lag_deltas`: every key's
+    rows land in ONE bucket, so per-key totals are known locally and the
+    assignment is one vectorized formula over the sorted frame.
+    """
+    import pandas as pd
+
+    from ..util import pin_for_shuffle
+    from .sessionize import _with_bucket
+
+    sort_cols = [key, order_col] + ([tie_col] if tie_col else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[out_col] = np.array([], dtype=np.int64)
+            return df
+        kv = df[key]
+        same_key = kv.eq(kv.shift(1)).to_numpy(dtype=bool)
+        starts = np.flatnonzero(~same_key)
+        counts = np.diff(np.append(starts, n))
+        rn0 = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        tot = np.repeat(counts, counts)
+        q, r = tot // k, tot % k
+        big = r * (q + 1)                        # rows covered by q+1-sized tiles
+        in_big = rn0 < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big, rn0 // np.maximum(q + 1, 1),
+                r + np.where(q > 0, (rn0 - big) // np.maximum(q, 1), 0))
+        df[out_col] = tile.astype(np.int64) + 1
+        return df
+
+    return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

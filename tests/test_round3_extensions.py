@@ -158,6 +158,54 @@ def test_zorder_sql_matches_kernel():
     assert (got == want).all()
 
 
+def test_keyed_ntile_vs_duckdb():
+    import duckdb
+
+    from raster_processor_ray.stages.windows import keyed_ntile
+
+    rng = np.random.default_rng(36)
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "g": rng.choice(["a", "b", "c", "d"], n),
+                       "v": rng.integers(0, 1000, n).astype(np.int64)})
+    got = keyed_ntile(ray.data.from_pandas(df).repartition(6),
+                      "g", "v", 4, tie_col="id").to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT id, ntile(4) OVER (PARTITION BY g ORDER BY v, id) AS tile "
+        "FROM t").df()
+    m = got[["id", "tile"]].merge(want, on="id", suffixes=("", "_w"))
+    assert len(m) == n and (m.tile == m.tile_w).all()
+
+
+def test_keyed_ntile_small_groups():
+    from raster_processor_ray.stages.windows import keyed_ntile
+
+    # n < k: each row is its own tile (ANSI)
+    df = pd.DataFrame({"id": np.arange(3, dtype=np.int64),
+                       "g": ["x"] * 3,
+                       "v": np.array([30, 10, 20], dtype=np.int64)})
+    got = keyed_ntile(ray.data.from_pandas(df), "g", "v", 5,
+                      tie_col="id").to_pandas().sort_values("v")
+    assert got.tile.tolist() == [1, 2, 3]
+
+
+def test_pivot_counts_vs_pandas():
+    from raster_processor_ray.aggregate.relational import pivot_counts
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"k": rng.choice(["p", "q", "r"], 5000),
+                       "c": rng.choice(["x", "y", "z"], 5000)})
+    got = pivot_counts(ray.data.from_pandas(df).repartition(5),
+                       "k", "c", ["x", "y"]).to_pandas().set_index("k")
+    want = df.pivot_table(index="k", columns="c", aggfunc="size")
+    for k in ["p", "q", "r"]:
+        assert got.loc[k, "n_x"] == want.loc[k, "x"]
+        assert got.loc[k, "n_y"] == want.loc[k, "y"]
+        assert got.loc[k, "n_total"] == want.loc[k].sum()
+
+
 def _label_regions_numpy(mask: np.ndarray) -> np.ndarray:
     """4-connectivity labeling by BFS flood fill (test oracle)."""
     lab = np.full(mask.shape, -1, dtype=np.int64)
