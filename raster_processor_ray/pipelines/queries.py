@@ -1934,6 +1934,39 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_splat_gaussian(sf_dir: str):
+    """Gaussian kernel splat rasterization (aggregate/splat.py): every
+    doc contributes to its 3x3 cell neighborhood with exp(-d^2/2s^2)
+    weights quantized to integers — the north-star's kernel aggregation
+    as one bounded fan-out + one hash aggregate."""
+    from ..aggregate.splat import splat_rasterize
+
+    ds = _docs_with_geo(sf_dir)
+    return splat_rasterize(ds, "n_chars", res_deg=1.0, radius_cells=1,
+                           kind="gaussian", sigma_deg=0.5)
+
+
+def q_splat_idw(sf_dir: str):
+    """Inverse-distance-weighted splat (power 2, clamped at eps)."""
+    from ..aggregate.splat import splat_rasterize
+
+    ds = _docs_with_geo(sf_dir)
+    return splat_rasterize(ds, "n_chars", res_deg=1.0, radius_cells=1,
+                           kind="idw", idw_power=2.0)
+
+
+def _splat_oracle(kind: str) -> str:
+    from ..aggregate.splat import splat_sql
+
+    return splat_sql(SQL_LAT, SQL_LON, "n_chars", res_deg=1.0,
+                     radius_cells=1, kind=kind, sigma_deg=0.5,
+                     idw_power=2.0)
+
+
+SQL_SPLAT_GAUSSIAN = _splat_oracle("gaussian")
+SQL_SPLAT_IDW = _splat_oracle("idw")
+
+
 def q_raster_regions(sf_dir: str):
     """Raster -> vector (stages/regions.py): occupied 10-degree cells ->
     4-adjacency edges -> distributed CC -> one vector record per
@@ -2060,6 +2093,8 @@ def queries() -> dict:
         "pivot_lang": q_pivot_lang,
         "parts_intersect": q_parts_intersect,
         "event_quartiles": q_event_quartiles,
+        "splat_gaussian": q_splat_gaussian,
+        "splat_idw": q_splat_idw,
     }
 
 
@@ -2118,4 +2153,6 @@ def oracle_sql() -> dict:
         "pivot_lang": SQL_PIVOT_LANG,
         "parts_intersect": SQL_PARTS_INTERSECT,
         "event_quartiles": SQL_EVENT_QUARTILES,
+        "splat_gaussian": SQL_SPLAT_GAUSSIAN,
+        "splat_idw": SQL_SPLAT_IDW,
     }

@@ -158,6 +158,57 @@ def test_zorder_sql_matches_kernel():
     assert (got == want).all()
 
 
+def test_splat_rasterize_vs_row_loop():
+    from raster_processor_ray.aggregate.splat import W_SCALE, splat_rasterize
+
+    rng = np.random.default_rng(38)
+    n = 2000
+    df = pd.DataFrame({"lat": rng.uniform(-60, 60, n),
+                       "lon": rng.uniform(-170, 170, n),
+                       "v": rng.integers(1, 100, n).astype(np.int64)})
+    got = splat_rasterize(ray.data.from_pandas(df).repartition(6), "v",
+                          res_deg=1.0, radius_cells=1, kind="gaussian",
+                          sigma_deg=0.5).to_pandas().set_index("cell")
+    # row-loop reference
+    acc = {}
+    s = 0.5 / 1.0
+    for lat, lon, v in df.itertuples(index=False):
+        iy0, ix0 = int(np.floor(lat + 90)), int(np.floor(lon + 180))
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                iy, ix = iy0 + dy, ix0 + dx
+                if not (0 <= iy < 180 and 0 <= ix < 360):
+                    continue
+                ddx = lon - (ix + 0.5 - 180.0)
+                ddy = lat - (iy + 0.5 - 90.0)
+                w = int(round(np.exp(-(ddx * ddx + ddy * ddy)
+                                     / (2 * s * s)) * W_SCALE))
+                if w <= 0:
+                    continue
+                c = iy * 360 + ix
+                a = acc.setdefault(c, [0, 0, 0])
+                a[0] += 1; a[1] += w; a[2] += w * v
+    assert len(got) == len(acc)
+    for c, (cnt, sw, swv) in acc.items():
+        assert got.loc[c, "n_contrib"] == cnt
+        assert got.loc[c, "sum_w"] == sw
+        assert abs(got.loc[c, "wmean"] - round(swv / sw, 6)) < 1e-9
+
+
+def test_splat_idw_center_dominates():
+    from raster_processor_ray.aggregate.splat import splat_rasterize
+
+    # one sample exactly at its cell center: IDW weight capped at eps,
+    # neighbors get much less; wmean equals the sample value everywhere
+    df = pd.DataFrame({"lat": [10.5 - 90.0 + 90.0], "lon": [20.5],
+                       "v": np.array([77], dtype=np.int64)})
+    got = splat_rasterize(ray.data.from_pandas(df), "v", res_deg=1.0,
+                          radius_cells=1, kind="idw").to_pandas()
+    assert len(got) == 9 and (got.wmean == 77.0).all()
+    center = got.loc[got.sum_w.idxmax()]
+    assert center.cell == (int(10.5 + 90) * 360 + int(20.5 + 180))
+
+
 def test_keyed_ntile_vs_duckdb():
     import duckdb
 
