@@ -1,0 +1,51 @@
+"""Exact distributed heavy hitters (frequent items above support 1/k).
+
+Two bounded passes, no global sort, EXACT output (unlike count-min /
+space-saving sketches, whose counts are approximate):
+
+1. Candidate generation (map side): each batch keeps the values whose
+   LOCAL count exceeds ``batch_rows / k``. Pigeonhole guarantee: if a
+   value's global count exceeds ``N / k`` then some batch has it above
+   its local threshold (if c_b <= n_b/k for every batch b, summing
+   gives C <= N/k) — so the candidate union is a SUPERSET of the true
+   heavy hitters, and it is bounded: fewer than k survivors per batch.
+2. Exact recount: one bucketed semi join of the input against the
+   (deduplicated) candidate set, one hash aggregate, and the exact
+   integer threshold test ``count * k > N`` (no float division).
+
+Scale shape: two input scans (the candidate pass fuses with the read);
+shuffle rows are bounded by candidates x blocks, never input rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def heavy_hitters(ds, col: str, k: int, *, out: str = "n",
+                  num_buckets: int = 32):
+    """Values of ``col`` occurring MORE than ``count(ds) / k`` times,
+    with their exact counts. Returns (col, n) rows."""
+    from ..stages.dedup import exact_dedup
+    from .relational import hash_aggregate, hash_join
+
+    n_total = ds.count()
+
+    def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[col].value_counts()
+        # strict local analog of the global test: c_b * k > n_b
+        keep = c[c.to_numpy() * k > len(df)]
+        return pd.DataFrame({col: keep.index.to_numpy()})
+
+    cands = exact_dedup(ds.map_batches(local_candidates,
+                                       batch_format="pandas"), col)
+    matched = hash_join(ds.select_columns([col]), cands, col, how="semi",
+                        num_buckets=num_buckets)
+    counts = hash_aggregate(matched, col, {out: (None, "count")},
+                            num_buckets=num_buckets)
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[out].to_numpy() * k > n_total]
+
+    return counts.map_batches(threshold, batch_format="pandas")

@@ -45,3 +45,20 @@ def tile_sort_key(names) -> np.ndarray:
     d = parse_tile_name(names)
     side_rank = np.where(d["side"] == "L", 0, 1)
     return side_rank * 10**9 + d["pass_num"] * 10**3 + d["tile_num"]
+
+
+def extract_int_field(col, pattern: str) -> "pa.Array":
+    """Vectorized semi-structured field extraction: pull ONE integer
+    capture group out of a string column with a single RE2 pass
+    (``pc.extract_regex``) — e.g. ``'"k": (\\d+)'`` over a JSON-ish
+    props column. Non-matching / null rows yield null. The DuckDB-parity
+    twin is ``CAST(regexp_extract(col, pattern, 1) AS BIGINT)`` (both
+    engines run RE2, so match semantics agree byte-for-byte)."""
+    import pyarrow.compute as pc
+
+    if "(?P<" not in pattern:
+        # extract_regex needs a NAMED group; rewrite the first group
+        pattern = pattern.replace("(", "(?P<v>", 1)
+    m = pc.extract_regex(col, pattern)
+    vals = pc.struct_field(m, [0])
+    return pc.cast(vals, pa.int64())

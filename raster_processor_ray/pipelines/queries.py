@@ -1934,6 +1934,107 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_heavy_parts(sf_dir: str):
+    """Exact heavy hitters (aggregate/frequent.py): parts appearing in
+    MORE than count(lineitem)/2000 lineitems — pigeonhole candidates +
+    exact recount, integer threshold test."""
+    from ..aggregate.frequent import heavy_hitters
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(ds, "l_partkey", 2000)
+
+
+SQL_HEAVY_PARTS = """
+SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+HAVING count(*) * 2000 > (SELECT count(*) FROM lineitem)
+"""
+
+
+def q_user_cumsum(sf_dir: str):
+    """Per-key running totals (stages/windows.py keyed_cumsum): each
+    user's cumulative event value (cents) in event order."""
+    from ..stages.windows import keyed_cumsum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return b.append_column("cents", pa.array(np.round(
+            np.asarray(b["value"]) * 100.0).astype(np.int64)))
+
+    out = keyed_cumsum(ds.map_batches(cents, batch_format="pyarrow"),
+                       "user_id", "ts", "cents", tie_col="event_id",
+                       out_col="cum_cents")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "cum_cents"]),
+        batch_format="pyarrow")
+
+
+SQL_USER_CUMSUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events
+"""
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured extraction (functions/strings.py
+    extract_int_field): pull the integer 'k' field out of the JSON
+    props column with one RE2 pass, aggregate per event type."""
+    from ..functions.strings import extract_int_field
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def add_k(b: pa.Table) -> pa.Table:
+        return b.append_column("k", extract_int_field(b["props"],
+                                                      r'"k": (\d+)'))
+
+    agg = hash_aggregate(ds.map_batches(add_k, batch_format="pyarrow"),
+                         "event_type", {
+        "n": (None, "count"),
+        "sum_k": ("k", "sum"),
+        "mean_k": ("k", "mean"),
+    })
+    return _round_cols(agg, {"mean_k": 6})
+
+
+SQL_PROPS_STATS = """
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS mean_k
+FROM x GROUP BY 1
+"""
+
+
+def q_events_profile(sf_dir: str):
+    """One-pass column profiling (aggregate/profile.py): row/null
+    counts + min/max for the numeric event columns."""
+    from ..aggregate.profile import profile_columns
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return profile_columns(ds, ["event_id", "user_id", "value"])
+
+
+SQL_EVENTS_PROFILE = """
+SELECT 'event_id' AS col_name, count(*) AS n,
+       count(*) - count(event_id) AS n_null,
+       CAST(min(event_id) AS DOUBLE) AS vmin,
+       CAST(max(event_id) AS DOUBLE) AS vmax FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM events
+"""
+
+
 def q_splat_gaussian(sf_dir: str):
     """Gaussian kernel splat rasterization (aggregate/splat.py): every
     doc contributes to its 3x3 cell neighborhood with exp(-d^2/2s^2)
@@ -2095,6 +2196,10 @@ def queries() -> dict:
         "event_quartiles": q_event_quartiles,
         "splat_gaussian": q_splat_gaussian,
         "splat_idw": q_splat_idw,
+        "heavy_parts": q_heavy_parts,
+        "user_cumsum": q_user_cumsum,
+        "props_stats": q_props_stats,
+        "events_profile": q_events_profile,
     }
 
 
@@ -2155,4 +2260,8 @@ def oracle_sql() -> dict:
         "event_quartiles": SQL_EVENT_QUARTILES,
         "splat_gaussian": SQL_SPLAT_GAUSSIAN,
         "splat_idw": SQL_SPLAT_IDW,
+        "heavy_parts": SQL_HEAVY_PARTS,
+        "user_cumsum": SQL_USER_CUMSUM,
+        "props_stats": SQL_PROPS_STATS,
+        "events_profile": SQL_EVENTS_PROFILE,
     }

@@ -114,6 +114,47 @@ def keyed_lag_deltas(ds, key: str, ts_col: str, *, tie_col: str | None = None,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def keyed_cumsum(ds, key: str, order_col: str, value_col: str, *,
+                 tie_col: str | None = None, out_col: str = "cum",
+                 num_buckets: int = 64):
+    """Per-key running total in (order_col[, tie_col]) order — SQL
+    ``sum(value) OVER (PARTITION BY key ORDER BY order_col[, tie]
+    ROWS UNBOUNDED PRECEDING)``. Integer value columns stay exact under
+    any execution order; pre-quantize floats (the cents trick) for
+    bit-reproducible totals.
+
+    Same bounded-bucket shape as keyed_lag_deltas: one shuffle on
+    ``hash(key) % B``, then one cumsum rebased at key starts,
+    vectorized across every key in the bucket."""
+    import pandas as pd
+
+    from ..util import pin_for_shuffle
+    from .sessionize import _with_bucket
+
+    sort_cols = [key, order_col] + ([tie_col] if tie_col else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[out_col] = np.array([], dtype=np.int64)
+            return df
+        kv = df[key]
+        same_key = kv.eq(kv.shift(1)).to_numpy(dtype=bool)
+        starts = np.flatnonzero(~same_key)
+        counts = np.diff(np.append(starts, n))
+        v = df[value_col].to_numpy()
+        cs = np.cumsum(v)
+        base = np.repeat(np.r_[cs.dtype.type(0), cs[starts[1:] - 1]], counts)
+        df[out_col] = cs - base
+        return df
+
+    return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def keyed_ntile(ds, key: str, order_col: str, k: int, *,
                 tie_col: str | None = None, out_col: str = "tile",
                 num_buckets: int = 64):

@@ -158,6 +158,75 @@ def test_zorder_sql_matches_kernel():
     assert (got == want).all()
 
 
+def test_heavy_hitters_exact():
+    from raster_processor_ray.aggregate.frequent import heavy_hitters
+
+    rng = np.random.default_rng(39)
+    # zipf-ish: a few hot values + uniform tail
+    vals = np.concatenate([
+        np.repeat(np.array([7, 13, 42], dtype=np.int64), [900, 400, 180]),
+        rng.integers(1000, 3000, 5000).astype(np.int64)])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    k = 20  # threshold: > len/20 = 324
+    got = heavy_hitters(ray.data.from_pandas(df).repartition(7),
+                        "v", k).to_pandas().set_index("v")
+    want = df.v.value_counts()
+    want = want[want.to_numpy() * k > len(df)]
+    assert set(got.index) == set(want.index)
+    for v, c in want.items():
+        assert got.loc[v, "n"] == c
+
+
+def test_heavy_hitters_none():
+    from raster_processor_ray.aggregate.frequent import heavy_hitters
+
+    df = pd.DataFrame({"v": np.arange(1000, dtype=np.int64)})  # all unique
+    got = heavy_hitters(ray.data.from_pandas(df).repartition(4),
+                        "v", 10).to_pandas()
+    assert len(got) == 0
+
+
+def test_keyed_cumsum_vs_pandas():
+    from raster_processor_ray.stages.windows import keyed_cumsum
+
+    rng = np.random.default_rng(40)
+    n = 6000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "g": rng.integers(0, 200, n).astype(np.int64),
+                       "o": rng.integers(0, 10**6, n).astype(np.int64),
+                       "v": rng.integers(-50, 50, n).astype(np.int64)})
+    got = keyed_cumsum(ray.data.from_pandas(df).repartition(6),
+                       "g", "o", "v", tie_col="id").to_pandas()
+    want = df.sort_values(["g", "o", "id"], kind="mergesort").copy()
+    want["cum"] = want.groupby("g").v.cumsum()
+    m = got[["id", "cum"]].merge(want[["id", "cum"]], on="id",
+                                 suffixes=("", "_w"))
+    assert len(m) == n and (m.cum == m.cum_w).all()
+
+
+def test_profile_columns():
+    from raster_processor_ray.aggregate.profile import profile_columns
+
+    df = pd.DataFrame({"a": [1.0, np.nan, 3.0, -2.0],
+                       "b": pd.array([None, None, None, None],
+                                     dtype="Int64")})
+    got = profile_columns(ray.data.from_pandas(df).repartition(2),
+                          ["a", "b"]).to_pandas().set_index("col_name")
+    assert got.loc["a", "n"] == 4 and got.loc["a", "n_null"] == 1
+    assert got.loc["a", "vmin"] == -2.0 and got.loc["a", "vmax"] == 3.0
+    assert got.loc["b", "n_null"] == 4
+    assert np.isnan(got.loc["b", "vmin"]) and np.isnan(got.loc["b", "vmax"])
+
+
+def test_extract_int_field():
+    from raster_processor_ray.functions.strings import extract_int_field
+
+    col = pa.array(['{"k": 69}', '{"k": 0}', '{"j": 5}', None, '{"k": 12'])
+    out = extract_int_field(col, r'"k": (\d+)')
+    assert out.to_pylist() == [69, 0, None, None, 12]
+
+
 def test_splat_rasterize_vs_row_loop():
     from raster_processor_ray.aggregate.splat import W_SCALE, splat_rasterize
 
