@@ -171,7 +171,7 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     exchange co-locates both sides of each bucket.
     """
     on = [on] if isinstance(on, str) else list(on)
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(how)
     # pin BOTH sides before touching .schema(): on a lazy chain schema()
     # executes the upstream plan, and the shuffle pin below would then
@@ -187,6 +187,11 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
     # a fully EMPTY materialized dataset reports schema None; handle the
     # join forms whose result doesn't need the missing columns
     if lschema is None:
+        if how == "full":
+            raise ValueError(
+                "hash_join: left side is empty with unknown schema; a "
+                "full join needs the left-side columns — pass a typed "
+                "empty dataset or guard the call")
         return left          # empty: inner/left/semi/anti of nothing is nothing
     if rschema is None:
         if how == "anti":
@@ -267,7 +272,7 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
             return l[l.set_index(on).index.isin(r.set_index(on).index)]
         if how == "anti":
             return l[~l.set_index(on).index.isin(r.set_index(on).index)]
-        return l.merge(r, on=on, how=how)
+        return l.merge(r, on=on, how="outer" if how == "full" else how)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

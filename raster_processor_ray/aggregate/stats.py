@@ -1,0 +1,94 @@
+"""Grouped statistical moments: stddev / correlation / regression slope
+in ONE pass with EXACT integer partials.
+
+The scale shape is the same as every aggregate in this engine (partials
+-> one bounded exchange -> finalize), but the numeric contract is
+stronger than a naive float implementation: callers pre-quantize float
+inputs to integers (the cents trick), so the six sufficient statistics
+(n, Σx, Σy, Σx², Σy², Σxy) are int64-exact and therefore IDENTICAL under
+any batch order, block split, or cluster size. Only the finalize step
+(variance / correlation / slope formulas) touches floats, and it runs
+once per group — bit-reproducible.
+
+Reference analog: the height-std / uncertainty aggregates
+(SWOTAlgorithms/Raster-Processor raster.py aggregate_height_std /
+aggregate_wse_qual) generalized to the textbook two-variable moment set.
+
+Overflow bound: Σxy ≤ n·max|x|·max|y| must stay below 2^63 ≈ 9.2e18 —
+e.g. 1e9 rows of |x| ≤ 1e4, |y| ≤ 1e5 is 1e18, fine. Callers with wider
+domains should rescale the quantization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def grouped_stats(ds, keys, x: str, y: str, *, num_buckets: int = 32,
+                  round_to: int | None = 6):
+    """Per-group (n, mean_x, std_x, corr_xy, slope_yx) over INTEGER
+    columns ``x`` and ``y``.
+
+    - ``std_x``: sample standard deviation (n-1 denominator; NaN at n=1)
+    - ``corr_xy``: Pearson correlation (NaN when either variance is 0)
+    - ``slope_yx``: least-squares slope of y on x (SQL regr_slope(y, x))
+
+    Finalize uses the sums formulation — ``(n·Σxy − Σx·Σy) / …`` — with
+    each int64 sum cast to float64 first; an oracle can reproduce the
+    exact doubles with HUGEINT sums + the same formula (see
+    SQL_PRICE_STATS in pipelines/queries.py).
+    """
+    from .relational import hash_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].to_numpy(dtype=np.int64, copy=False)
+        yv = df[y].to_numpy(dtype=np.int64, copy=False)
+        out = pd.DataFrame({k: df[k] for k in keys})
+        out["_sx"] = xv
+        out["_sy"] = yv
+        out["_sxx"] = xv * xv
+        out["_syy"] = yv * yv
+        out["_sxy"] = xv * yv
+        g = out.groupby(keys, as_index=False, dropna=False, observed=True)
+        agg = g.agg(n=("_sx", "size"), sx=("_sx", "sum"), sy=("_sy", "sum"),
+                    sxx=("_sxx", "sum"), syy=("_syy", "sum"),
+                    sxy=("_sxy", "sum"))
+        return agg
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), keys, {
+            "n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+            "sxx": ("sxx", "sum"), "syy": ("syy", "sum"),
+            "sxy": ("sxy", "sum"),
+        }, num_buckets=num_buckets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.n.to_numpy(dtype=np.float64)
+        sx = df.sx.to_numpy(dtype=np.float64)
+        sy = df.sy.to_numpy(dtype=np.float64)
+        sxx = df.sxx.to_numpy(dtype=np.float64)
+        syy = df.syy.to_numpy(dtype=np.float64)
+        sxy = df.sxy.to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_x = sx / n
+            varnum_x = n * sxx - sx * sx        # n² · population variance
+            varnum_y = n * syy - sy * sy
+            covnum = n * sxy - sx * sy
+            std_x = np.sqrt(varnum_x / (n * (n - 1.0)))
+            corr = covnum / np.sqrt(varnum_x * varnum_y)
+            slope = covnum / varnum_x
+        res = df[keys].copy()
+        res["n"] = df.n.to_numpy(dtype=np.int64)
+        res["mean_x"] = mean_x
+        res["std_x"] = std_x
+        res["corr_xy"] = corr
+        res["slope_yx"] = slope
+        if round_to is not None:
+            for c in ("mean_x", "std_x", "corr_xy", "slope_yx"):
+                res[c] = res[c].round(round_to)
+        return res
+
+    return agg.map_batches(finalize, batch_format="pandas")

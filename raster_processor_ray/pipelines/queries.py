@@ -2035,6 +2035,182 @@ SELECT 'value', count(*), count(*) - count(value),
 """
 
 
+def q_price_stats(sf_dir: str):
+    """Grouped statistical moments (aggregate/stats.py): per returnflag
+    stddev of quantity, quantity/price correlation and regression slope
+    from exact int64 sufficient statistics (one pass, one exchange)."""
+    from ..aggregate.stats import grouped_stats
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    # floor(v + 0.5), not round(): np.round is half-to-even while DuckDB
+    # rounds half away from zero, and whole-unit prices hit exact .5
+    def quantize(b: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(b["l_quantity"]) + 0.5).astype(np.int64)
+        p = np.floor(np.asarray(b["l_extendedprice"]) + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "x": pa.array(q), "y": pa.array(p)})
+
+    out = grouped_stats(ds.map_batches(quantize, batch_format="pyarrow"),
+                        "l_returnflag", "x", "y")
+    return out.map_batches(lambda df: df.rename(columns={
+        "mean_x": "mean_qty", "std_x": "std_qty",
+        "corr_xy": "corr_qty_price", "slope_yx": "slope_price_qty"}),
+        batch_format="pandas")
+
+
+# HUGEINT sums keep the sufficient statistics exact (as int64 does in the
+# engine); both sides then evaluate the identical double formula.
+SQL_PRICE_STATS = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS std_qty,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS corr_qty_price,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_price_qty
+FROM s
+"""
+
+
+def q_user_rolling(sf_dir: str):
+    """Row-window moving total (stages/windows.py keyed_rolling_sum):
+    each user's 4-row (3 preceding + current) running spend in event
+    order — exact integer cents through one bounded shuffle."""
+    from ..stages.windows import keyed_rolling_sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return b.append_column("cents", pa.array(np.round(
+            np.asarray(b["value"]) * 100.0).astype(np.int64)))
+
+    out = keyed_rolling_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                            "user_id", "ts", "cents", preceding=3,
+                            tie_col="event_id", out_col="roll_cents")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "roll_cents"]),
+        batch_format="pyarrow")
+
+
+SQL_USER_ROLLING = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll_cents
+FROM events
+"""
+
+
+def q_lineitem_ranks(sf_dir: str):
+    """rank() / dense_rank() per key (stages/windows.py keyed_rank):
+    rank lineitems by quantity (DESC) within each supplier — quantity is
+    integer-valued with ~50 distinct values, so ties exercise the
+    gap/no-gap semantics of both rank flavors."""
+    from ..stages.windows import keyed_rank
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_suppkey",
+                             "l_quantity"])
+    out = keyed_rank(ds, "l_suppkey", "l_quantity", descending=True)
+    return out.map_batches(
+        lambda df: df[["l_orderkey", "l_linenumber", "l_suppkey",
+                       "rnk", "drnk"]],
+        batch_format="pandas")
+
+
+SQL_LINEITEM_RANKS = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
+"""
+
+
+def q_nation_balance_full(sf_dir: str):
+    """FULL OUTER hash join (relational.py hash_join how='full'): rich
+    customers vs rich suppliers per nation — thresholds chosen so each
+    side covers a DIFFERENT partial set of nations (one-side-only rows
+    exercise the outer padding on both sides)."""
+    from ..aggregate.relational import hash_join
+
+    def prep(table, key, bal, thresh, n_out, cents_out):
+        ds = read_table(sf_dir, table, columns=[key, bal])
+
+        def f(b: pa.Table) -> pa.Table:
+            v = np.asarray(b[bal])
+            keep = v > thresh
+            return pa.table({
+                "nationkey": pc.cast(b[key], pa.int64()).filter(
+                    pa.array(keep)),
+                "cents": pa.array(np.round(v[keep] * 100.0).astype(np.int64)),
+            })
+
+        return hash_aggregate(ds.map_batches(f, batch_format="pyarrow"),
+                              "nationkey", {
+            n_out: (None, "count"), cents_out: ("cents", "sum")})
+
+    c = prep("customer", "c_nationkey", "c_acctbal", 9800.0,
+             "n_cust", "cust_cents")
+    s = prep("supplier", "s_nationkey", "s_acctbal", 5000.0,
+             "n_supp", "supp_cents")
+    out = hash_join(c, s, "nationkey", how="full")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["nationkey"] = df.nationkey.astype(np.int64)
+        for col in ("n_cust", "cust_cents", "n_supp", "supp_cents"):
+            df[col] = df[col].astype(np.float64)   # nullable on outer rows
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_NATION_BALANCE_FULL = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(count(*) AS DOUBLE) AS n_cust,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           AS cust_cents
+  FROM customer WHERE c_acctbal > 9800 GROUP BY 1
+), s AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+         CAST(count(*) AS DOUBLE) AS n_supp,
+         CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           AS supp_cents
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       n_cust, cust_cents, n_supp, supp_cents
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 def q_splat_gaussian(sf_dir: str):
     """Gaussian kernel splat rasterization (aggregate/splat.py): every
     doc contributes to its 3x3 cell neighborhood with exp(-d^2/2s^2)
@@ -2200,6 +2376,10 @@ def queries() -> dict:
         "user_cumsum": q_user_cumsum,
         "props_stats": q_props_stats,
         "events_profile": q_events_profile,
+        "price_stats": q_price_stats,
+        "user_rolling": q_user_rolling,
+        "lineitem_ranks": q_lineitem_ranks,
+        "nation_balance_full": q_nation_balance_full,
     }
 
 
@@ -2264,4 +2444,8 @@ def oracle_sql() -> dict:
         "user_cumsum": SQL_USER_CUMSUM,
         "props_stats": SQL_PROPS_STATS,
         "events_profile": SQL_EVENTS_PROFILE,
+        "price_stats": SQL_PRICE_STATS,
+        "user_rolling": SQL_USER_ROLLING,
+        "lineitem_ranks": SQL_LINEITEM_RANKS,
+        "nation_balance_full": SQL_NATION_BALANCE_FULL,
     }

@@ -200,3 +200,91 @@ def keyed_ntile(ds, key: str, order_col: str, k: int, *,
     return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+def keyed_rolling_sum(ds, key: str, order_col: str, value_col: str, *,
+                      preceding: int, tie_col: str | None = None,
+                      out_col: str = "roll", num_buckets: int = 64):
+    """Per-key ROW-based moving total — SQL ``sum(value) OVER (PARTITION
+    BY key ORDER BY order[, tie] ROWS BETWEEN p PRECEDING AND CURRENT
+    ROW)``. Integer value columns stay exact (cents trick for floats).
+
+    Same bounded-bucket shape as the other window kernels: one shuffle
+    on ``hash(key) % B``; inside the bucket the window is one cumsum
+    plus a clamped gather — ``roll[i] = cs[i] - cs[max(key_start,
+    i-p) - 1]`` — vectorized across every key at once.
+    """
+    import pandas as pd
+
+    from ..util import pin_for_shuffle
+    from .sessionize import _with_bucket
+
+    sort_cols = [key, order_col] + ([tie_col] if tie_col else [])
+    p = int(preceding)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[out_col] = np.array([], dtype=np.int64)
+            return df
+        kv = df[key]
+        same_key = kv.eq(kv.shift(1)).to_numpy(dtype=bool)
+        starts = np.flatnonzero(~same_key)
+        counts = np.diff(np.append(starts, n))
+        key_start = np.repeat(starts, counts)
+        idx = np.arange(n, dtype=np.int64)
+        v = df[value_col].to_numpy()
+        cs = np.cumsum(v)
+        lo = np.maximum(key_start, idx - p)       # first row in the window
+        base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], v.dtype.type(0))
+        df[out_col] = cs - base
+        return df
+
+    return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def keyed_rank(ds, key: str, order_col: str, *, descending: bool = False,
+               num_buckets: int = 64, rank_col: str = "rnk",
+               dense_col: str = "drnk"):
+    """SQL ``rank()`` and ``dense_rank()`` ``OVER (PARTITION BY key
+    ORDER BY order_col [DESC])`` — ties share a rank; rank() leaves
+    gaps after ties, dense_rank() doesn't.
+
+    One bucketed shuffle; inside the bucket both ranks fall out of the
+    (key, value) run-length structure of the sorted frame: rank = run
+    start − key start + 1; dense rank = run index − runs before the
+    key's first row + 1. Vectorized across all keys in the bucket.
+    """
+    import pandas as pd
+
+    from ..util import pin_for_shuffle
+    from .sessionize import _with_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            [key, order_col], ascending=[True, not descending],
+            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[rank_col] = np.array([], dtype=np.int64)
+            df[dense_col] = np.array([], dtype=np.int64)
+            return df
+        kv, ov = df[key], df[order_col]
+        new_key = ~kv.eq(kv.shift(1)).to_numpy(dtype=bool)
+        new_run = new_key | ~ov.eq(ov.shift(1)).to_numpy(dtype=bool)
+        key_starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(key_starts, n))
+        key_start = np.repeat(key_starts, counts)
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(n, dtype=np.int64), -1))
+        run_id = np.cumsum(new_run) - 1           # 0-based global run index
+        df[rank_col] = run_start - key_start + 1
+        df[dense_col] = run_id - run_id[key_start] + 1
+        return df
+
+    return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -396,3 +396,87 @@ def test_add_zorder_column_round_trip():
     iy = np.floor(df.lat.to_numpy() + 90.0).astype(np.int64)
     ix = np.floor(df.lon.to_numpy() + 180.0).astype(np.int64)
     assert (out.zkey.to_numpy() == zorder_key(ix, iy)).all()
+
+def test_keyed_rolling_sum_vs_pandas():
+    from raster_processor_ray.stages.windows import keyed_rolling_sum
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "g": rng.integers(0, 150, n).astype(np.int64),
+                       "o": rng.integers(0, 10**6, n).astype(np.int64),
+                       "v": rng.integers(-40, 40, n).astype(np.int64)})
+    got = keyed_rolling_sum(ray.data.from_pandas(df).repartition(5),
+                            "g", "o", "v", preceding=3,
+                            tie_col="id").to_pandas()
+    want = df.sort_values(["g", "o", "id"], kind="mergesort").copy()
+    want["roll"] = (want.groupby("g").v
+                    .rolling(4, min_periods=1).sum()
+                    .reset_index(level=0, drop=True).astype(np.int64))
+    m = got[["id", "roll"]].merge(want[["id", "roll"]], on="id",
+                                  suffixes=("", "_w"))
+    assert len(m) == n and (m.roll == m.roll_w).all()
+
+
+def test_keyed_rank_vs_pandas():
+    from raster_processor_ray.stages.windows import keyed_rank
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "g": rng.integers(0, 80, n).astype(np.int64),
+                       "v": rng.integers(0, 12, n).astype(np.int64)})
+    got = keyed_rank(ray.data.from_pandas(df).repartition(4),
+                     "g", "v", descending=True).to_pandas()
+    want = df.copy()
+    want["rnk"] = want.groupby("g").v.rank(
+        method="min", ascending=False).astype(np.int64)
+    want["drnk"] = want.groupby("g").v.rank(
+        method="dense", ascending=False).astype(np.int64)
+    m = got.merge(want, on="id", suffixes=("", "_w"))
+    assert len(m) == n
+    assert (m.rnk == m.rnk_w).all() and (m.drnk == m.drnk_w).all()
+
+
+def test_grouped_stats_vs_numpy():
+    from raster_processor_ray.aggregate.stats import grouped_stats
+
+    rng = np.random.default_rng(43)
+    n = 8000
+    df = pd.DataFrame({"g": rng.integers(0, 5, n).astype(np.int64),
+                       "x": rng.integers(1, 50, n).astype(np.int64)})
+    df["y"] = (3 * df.x + rng.integers(-100, 100, n)).astype(np.int64)
+    got = grouped_stats(ray.data.from_pandas(df).repartition(6),
+                        "g", "x", "y", round_to=None) \
+        .to_pandas().set_index("g").sort_index()
+    for g, sub in df.groupby("g"):
+        assert got.loc[g, "n"] == len(sub)
+        np.testing.assert_allclose(got.loc[g, "mean_x"], sub.x.mean(),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(got.loc[g, "std_x"], sub.x.std(ddof=1),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(
+            got.loc[g, "corr_xy"], np.corrcoef(sub.x, sub.y)[0, 1],
+            rtol=1e-9)
+        np.testing.assert_allclose(
+            got.loc[g, "slope_yx"],
+            np.polyfit(sub.x.to_numpy(dtype=float),
+                       sub.y.to_numpy(dtype=float), 1)[0], rtol=1e-8)
+
+
+def test_hash_join_full_outer():
+    from raster_processor_ray.aggregate.relational import hash_join
+
+    l = pd.DataFrame({"k": np.array([1, 2, 3, 5], dtype=np.int64),
+                      "a": np.array([10, 20, 30, 50], dtype=np.int64)})
+    r = pd.DataFrame({"k": np.array([2, 3, 4, 6], dtype=np.int64),
+                      "b": np.array([200, 300, 400, 600], dtype=np.int64)})
+    got = hash_join(ray.data.from_pandas(l).repartition(2),
+                    ray.data.from_pandas(r).repartition(2),
+                    "k", how="full").to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    want = l.merge(r, on="k", how="outer").sort_values("k") \
+        .reset_index(drop=True)
+    assert got.k.astype(np.int64).tolist() == want.k.tolist()
+    assert got.a.fillna(-1).tolist() == want.a.fillna(-1).tolist()
+    assert got.b.fillna(-1).tolist() == want.b.fillna(-1).tolist()
