@@ -2211,6 +2211,40 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+def q_vocab_encode(sf_dir: str):
+    """Tokenize-for-training pipeline (pipelines/vocab.py): build the
+    global top-200 vocabulary (map-side partial term counts -> one
+    exchange -> tiny top-V pick), broadcast it once, and emit the
+    exploded (doc_id, pos, token_id) integer encoding of the corpus."""
+    from .vocab import build_vocab, encode_tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocab(ds, size=200)
+    return encode_tokens(ds, vocab)
+
+
+SQL_VOCAB_ENCODE = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(tl, 1) AS BIGINT) AS pos,
+         unnest(tl) AS tok
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        FROM documents)
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY 1
+), vocab AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+           AS token_id
+  FROM counts
+  QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 200
+)
+SELECT t.doc_id, t.pos, v.token_id
+FROM toks t JOIN vocab v USING (tok)
+"""
+
+
 def q_splat_gaussian(sf_dir: str):
     """Gaussian kernel splat rasterization (aggregate/splat.py): every
     doc contributes to its 3x3 cell neighborhood with exp(-d^2/2s^2)
@@ -2380,6 +2414,7 @@ def queries() -> dict:
         "user_rolling": q_user_rolling,
         "lineitem_ranks": q_lineitem_ranks,
         "nation_balance_full": q_nation_balance_full,
+        "vocab_encode": q_vocab_encode,
     }
 
 
@@ -2448,4 +2483,5 @@ def oracle_sql() -> dict:
         "user_rolling": SQL_USER_ROLLING,
         "lineitem_ranks": SQL_LINEITEM_RANKS,
         "nation_balance_full": SQL_NATION_BALANCE_FULL,
+        "vocab_encode": SQL_VOCAB_ENCODE,
     }

@@ -480,3 +480,24 @@ def test_hash_join_full_outer():
     assert got.k.astype(np.int64).tolist() == want.k.tolist()
     assert got.a.fillna(-1).tolist() == want.a.fillna(-1).tolist()
     assert got.b.fillna(-1).tolist() == want.b.fillna(-1).tolist()
+
+def test_vocab_encode_roundtrip():
+    from raster_processor_ray.pipelines.vocab import build_vocab, encode_tokens
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat", "the the dog", "  cat! cat?",
+                 "", "zzz unseen token", "the end"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    vocab = build_vocab(ds, size=3)
+    # counts: the=4, cat=3, ... top3 by (n desc, tok asc)
+    assert vocab.tok.tolist()[0] == "the" and vocab.token_id.tolist() == [0, 1, 2]
+    enc = encode_tokens(ds, vocab).to_pandas()
+    lut = dict(zip(vocab.tok, vocab.token_id))
+    import re
+    for _, d in docs.iterrows():
+        toks = [t.lower() for t in re.split(r"[^A-Za-z0-9]+", d.text) if t]
+        want = [(p + 1, lut[t]) for p, t in enumerate(toks) if t in lut]
+        got = enc[enc.doc_id == d.doc_id].sort_values("pos")
+        assert list(zip(got.pos, got.token_id)) == want
