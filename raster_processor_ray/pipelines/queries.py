@@ -2137,17 +2137,20 @@ def q_lineitem_ranks(sf_dir: str):
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_linenumber", "l_suppkey",
                              "l_quantity"])
-    out = keyed_rank(ds, "l_suppkey", "l_quantity", descending=True)
+    out = keyed_rank(ds, "l_suppkey", "l_quantity", descending=True,
+                     percent_col="prnk", cume_col="cume")
     return out.map_batches(
         lambda df: df[["l_orderkey", "l_linenumber", "l_suppkey",
-                       "rnk", "drnk"]],
+                       "rnk", "drnk", "prnk", "cume"]],
         batch_format="pandas")
 
 
 SQL_LINEITEM_RANKS = """
 SELECT l_orderkey, l_linenumber, l_suppkey,
        CAST(rank() OVER w AS BIGINT) AS rnk,
-       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(percent_rank() OVER w AS DOUBLE) AS prnk,
+       CAST(cume_dist() OVER w AS DOUBLE) AS cume
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
 """
@@ -2208,6 +2211,33 @@ WITH c AS (
 SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
        n_cust, cust_cents, n_supp, supp_cents
 FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+def q_lang_sample(sf_dir: str):
+    """Deterministic per-stratum hash sampling: the 3 docs per language
+    with the smallest Knuth multiplicative hash of doc_id — reproducible
+    at any cluster size / partitioning (no RNG), bounded shuffle
+    (grouped_topk ships k rows per key per batch, never the corpus)."""
+    from ..aggregate.relational import grouped_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        return b.append_column("h", pa.array(
+            (ids * 2654435761 + 17) % 1000000007))
+
+    return grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
+                        "lang", "h", 3, descending=False, tie_col="doc_id")
+
+
+SQL_LANG_SAMPLE = """
+SELECT doc_id, lang, (doc_id * 2654435761 + 17) % 1000000007 AS h
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) <= 3
 """
 
 
@@ -2415,6 +2445,7 @@ def queries() -> dict:
         "lineitem_ranks": q_lineitem_ranks,
         "nation_balance_full": q_nation_balance_full,
         "vocab_encode": q_vocab_encode,
+        "lang_sample": q_lang_sample,
     }
 
 
@@ -2484,4 +2515,5 @@ def oracle_sql() -> dict:
         "lineitem_ranks": SQL_LINEITEM_RANKS,
         "nation_balance_full": SQL_NATION_BALANCE_FULL,
         "vocab_encode": SQL_VOCAB_ENCODE,
+        "lang_sample": SQL_LANG_SAMPLE,
     }

@@ -248,15 +248,19 @@ def keyed_rolling_sum(ds, key: str, order_col: str, value_col: str, *,
 
 def keyed_rank(ds, key: str, order_col: str, *, descending: bool = False,
                num_buckets: int = 64, rank_col: str = "rnk",
-               dense_col: str = "drnk"):
+               dense_col: str = "drnk", percent_col: str | None = None,
+               cume_col: str | None = None):
     """SQL ``rank()`` and ``dense_rank()`` ``OVER (PARTITION BY key
     ORDER BY order_col [DESC])`` — ties share a rank; rank() leaves
-    gaps after ties, dense_rank() doesn't.
+    gaps after ties, dense_rank() doesn't. Optionally also emits
+    ``percent_rank()`` ((rank−1)/(n−1); 0 for single-row keys) and
+    ``cume_dist()`` (rows ≤ current / n) — exact double divisions of
+    the same integers SQL divides, so no rounding is needed.
 
-    One bucketed shuffle; inside the bucket both ranks fall out of the
-    (key, value) run-length structure of the sorted frame: rank = run
-    start − key start + 1; dense rank = run index − runs before the
-    key's first row + 1. Vectorized across all keys in the bucket.
+    One bucketed shuffle; inside the bucket every output falls out of
+    the (key, value) run-length structure of the sorted frame: rank =
+    run start − key start + 1; dense rank = run index − runs before
+    the key's first row + 1. Vectorized across all keys in the bucket.
     """
     import pandas as pd
 
@@ -269,8 +273,11 @@ def keyed_rank(ds, key: str, order_col: str, *, descending: bool = False,
             kind="mergesort").reset_index(drop=True)
         n = len(df)
         if n == 0:
-            df[rank_col] = np.array([], dtype=np.int64)
-            df[dense_col] = np.array([], dtype=np.int64)
+            for c in (rank_col, dense_col):
+                df[c] = np.array([], dtype=np.int64)
+            for c in (percent_col, cume_col):
+                if c:
+                    df[c] = np.array([], dtype=np.float64)
             return df
         kv, ov = df[key], df[order_col]
         new_key = ~kv.eq(kv.shift(1)).to_numpy(dtype=bool)
@@ -281,8 +288,20 @@ def keyed_rank(ds, key: str, order_col: str, *, descending: bool = False,
         run_start = np.maximum.accumulate(
             np.where(new_run, np.arange(n, dtype=np.int64), -1))
         run_id = np.cumsum(new_run) - 1           # 0-based global run index
-        df[rank_col] = run_start - key_start + 1
+        rank = run_start - key_start + 1
+        df[rank_col] = rank
         df[dense_col] = run_id - run_id[key_start] + 1
+        if percent_col or cume_col:
+            key_n = np.repeat(counts, counts).astype(np.float64)
+            if percent_col:
+                with np.errstate(invalid="ignore"):
+                    pr = (rank - 1) / (key_n - 1)
+                df[percent_col] = np.where(key_n == 1, 0.0, pr)
+            if cume_col:
+                run_starts = np.flatnonzero(new_run)
+                run_counts = np.diff(np.append(run_starts, n))
+                run_end = np.repeat(run_starts + run_counts, run_counts)
+                df[cume_col] = (run_end - key_start) / key_n
         return df
 
     return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))

@@ -501,3 +501,26 @@ def test_vocab_encode_roundtrip():
         want = [(p + 1, lut[t]) for p, t in enumerate(toks) if t in lut]
         got = enc[enc.doc_id == d.doc_id].sort_values("pos")
         assert list(zip(got.pos, got.token_id)) == want
+
+def test_keyed_rank_percent_cume():
+    from raster_processor_ray.stages.windows import keyed_rank
+
+    rng = np.random.default_rng(44)
+    n = 3000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "g": rng.integers(0, 60, n).astype(np.int64),
+                       "v": rng.integers(0, 8, n).astype(np.int64)})
+    # include a single-row key: percent_rank must be 0.0 there
+    df.loc[n - 1, "g"] = 999
+    got = keyed_rank(ray.data.from_pandas(df).repartition(4), "g", "v",
+                     percent_col="pr", cume_col="cd").to_pandas()
+    want = df.copy()
+    grp = want.groupby("g").v
+    cnt = grp.transform("size").to_numpy(dtype=np.float64)
+    rnk = grp.rank(method="min").to_numpy()
+    want["pr"] = np.where(cnt == 1, 0.0, (rnk - 1) / (cnt - 1))
+    want["cd"] = grp.rank(method="max").to_numpy() / cnt
+    m = got.merge(want, on="id", suffixes=("", "_w"))
+    assert len(m) == n
+    np.testing.assert_allclose(m.pr, m.pr_w, rtol=0, atol=0)
+    np.testing.assert_allclose(m.cd, m.cd_w, rtol=0, atol=0)
