@@ -48,7 +48,9 @@ BENCH_QUERIES = [
     "minhash_dedup", "sliding_windows", "value_quantiles",
     "distinct_users", "top_orders_by_priority", "bloom_filter_orders",
     "hll_users", "radius_join_sites", "event_deltas", "rollup_pricing",
-    "top_terms", "zorder_keys",
+    "top_terms", "zorder_keys", "heavy_parts", "user_cumsum",
+    "user_rolling", "lineitem_ranks", "price_stats", "props_stats",
+    "events_profile", "vocab_encode", "lang_sample", "nation_balance_full",
 ]
 
 

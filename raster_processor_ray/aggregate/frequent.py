@@ -24,11 +24,16 @@ import pandas as pd
 
 
 def heavy_hitters(ds, col: str, k: int, *, out: str = "n",
-                  num_buckets: int = 32):
+                  num_buckets: int = 8):
     """Values of ``col`` occurring MORE than ``count(ds) / k`` times,
-    with their exact counts. Returns (col, n) rows."""
-    from ..stages.dedup import exact_dedup
-    from .relational import hash_aggregate, hash_join
+    with their exact counts. Returns (col, n) rows.
+
+    The candidate set is bounded by < k survivors per batch, so it is
+    BROADCAST (one ``ray.put``, read per map task) rather than shuffled
+    against the input: the recount pass filters map-side and its
+    partials are bounded by |candidates| per batch — the input is never
+    exchanged. Driver holds only the candidate ids (≤ k × blocks)."""
+    from .relational import hash_aggregate
 
     n_total = ds.count()
 
@@ -38,11 +43,25 @@ def heavy_hitters(ds, col: str, k: int, *, out: str = "n",
         keep = c[c.to_numpy() * k > len(df)]
         return pd.DataFrame({col: keep.index.to_numpy()})
 
-    cands = exact_dedup(ds.map_batches(local_candidates,
-                                       batch_format="pandas"), col)
-    matched = hash_join(ds.select_columns([col]), cands, col, how="semi",
-                        num_buckets=num_buckets)
-    counts = hash_aggregate(matched, col, {out: (None, "count")},
+    cands = ds.map_batches(local_candidates,
+                           batch_format="pandas").to_pandas()
+    # an all-empty collect loses the schema -> treat as "no candidates"
+    cand_vals = (pd.unique(cands[col].to_numpy())
+                 if col in cands.columns else np.array([]))
+    if len(cand_vals) == 0:
+        return ds.limit(0).map_batches(
+            lambda df: df[[col]].assign(**{out: np.array([], dtype=np.int64)}),
+            batch_format="pandas")
+    import ray
+    ref = ray.put(set(cand_vals.tolist()))
+
+    def filter_cands(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[col].isin(ray.get(ref))
+        return df.loc[keep, [col]]
+
+    counts = hash_aggregate(ds.map_batches(filter_cands,
+                                           batch_format="pandas"),
+                            col, {out: (None, "count")},
                             num_buckets=num_buckets)
 
     def threshold(df: pd.DataFrame) -> pd.DataFrame:

@@ -2175,15 +2175,18 @@ def q_nation_balance_full(sf_dir: str):
                 "cents": pa.array(np.round(v[keep] * 100.0).astype(np.int64)),
             })
 
+        # ≤ 25 nations: tiny exchanges — minimal buckets kill task overhead
         return hash_aggregate(ds.map_batches(f, batch_format="pyarrow"),
                               "nationkey", {
-            n_out: (None, "count"), cents_out: ("cents", "sum")})
+            n_out: (None, "count"), cents_out: ("cents", "sum")},
+            num_buckets=2)
 
     c = prep("customer", "c_nationkey", "c_acctbal", 9800.0,
              "n_cust", "cust_cents")
     s = prep("supplier", "s_nationkey", "s_acctbal", 5000.0,
              "n_supp", "supp_cents")
-    out = hash_join(c, s, "nationkey", how="full")
+    out = hash_join(c, s, "nationkey", how="full", num_buckets=2,
+                    num_partitions=2)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df["nationkey"] = df.nationkey.astype(np.int64)
