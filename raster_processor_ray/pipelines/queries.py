@@ -2217,6 +2217,82 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+def q_cube_pricing(sf_dir: str):
+    """CUBE grouping sets (aggregate/cube.py): count + sum(cents) over
+    every subset of (returnflag, linestatus) — one input scan, coarser
+    sets refolded from the bounded finest level."""
+    from ..aggregate.cube import cube_aggregate
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "cents": pa.array(np.floor(
+                np.asarray(b["l_extendedprice"]) * 100.0 + 0.5
+            ).astype(np.int64)),
+        })
+
+    return cube_aggregate(ds.map_batches(cents, batch_format="pyarrow"),
+                          ["l_returnflag", "l_linestatus"], {
+        "n": (None, "count"), "sum_cents": ("cents", "sum")})
+
+
+SQL_CUBE_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_doc_keywords(sf_dir: str):
+    """TF-IDF keywords (pipelines/tfidf.py): top-3 most characteristic
+    vocabulary terms per document — vocab + document frequencies in
+    bounded exchanges, scoring and per-doc ranking batch-local."""
+    from .tfidf import doc_top_tfidf
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_top_tfidf(ds, vocab_size=200, k=3)
+
+
+SQL_DOC_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY 1
+), vocab AS (
+  SELECT tok FROM counts
+  QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 200
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df
+  FROM toks JOIN vocab USING (tok) GROUP BY 1
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM toks JOIN vocab USING (tok) GROUP BY 1, 2
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(nd.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, tok, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, tok) <= 3
+"""
+
+
 def q_lang_sample(sf_dir: str):
     """Deterministic per-stratum hash sampling: the 3 docs per language
     with the smallest Knuth multiplicative hash of doc_id — reproducible
@@ -2449,6 +2525,8 @@ def queries() -> dict:
         "nation_balance_full": q_nation_balance_full,
         "vocab_encode": q_vocab_encode,
         "lang_sample": q_lang_sample,
+        "cube_pricing": q_cube_pricing,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -2519,4 +2597,6 @@ def oracle_sql() -> dict:
         "nation_balance_full": SQL_NATION_BALANCE_FULL,
         "vocab_encode": SQL_VOCAB_ENCODE,
         "lang_sample": SQL_LANG_SAMPLE,
+        "cube_pricing": SQL_CUBE_PRICING,
+        "doc_keywords": SQL_DOC_KEYWORDS,
     }

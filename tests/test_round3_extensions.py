@@ -524,3 +524,55 @@ def test_keyed_rank_percent_cume():
     assert len(m) == n
     np.testing.assert_allclose(m.pr, m.pr_w, rtol=0, atol=0)
     np.testing.assert_allclose(m.cd, m.cd_w, rtol=0, atol=0)
+
+def test_cube_aggregate_vs_pandas():
+    from raster_processor_ray.aggregate.cube import cube_aggregate
+
+    rng = np.random.default_rng(45)
+    n = 4000
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], n),
+                       "b": rng.choice(["p", "q"], n),
+                       "v": rng.integers(0, 100, n).astype(np.int64)})
+    got = cube_aggregate(ray.data.from_pandas(df).repartition(4),
+                         ["a", "b"], {"n": (None, "count"),
+                                      "s": ("v", "sum")})
+    assert len(got) == 3 * 2 + 3 + 2 + 1
+    gi = got.set_index(["a", "b"])
+    assert gi.loc[("ALL", "ALL"), "n"] == n
+    assert gi.loc[("ALL", "ALL"), "s"] == df.v.sum()
+    for (a, b), sub in df.groupby(["a", "b"]):
+        assert gi.loc[(a, b), "n"] == len(sub)
+        assert gi.loc[(a, b), "s"] == sub.v.sum()
+    for a, sub in df.groupby("a"):
+        assert gi.loc[(a, "ALL"), "s"] == sub.v.sum()
+    for b, sub in df.groupby("b"):
+        assert gi.loc[("ALL", b), "n"] == len(sub)
+
+
+def test_doc_top_tfidf_small():
+    from raster_processor_ray.pipelines.tfidf import doc_top_tfidf
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["apple banana apple", "banana cherry", "apple apple apple",
+                 "dog dog cherry banana"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    got = doc_top_tfidf(ds, vocab_size=10, k=2).to_pandas()
+    # independent oracle
+    import math
+    from collections import Counter
+    toks = {i: t.split() for i, t in zip(docs.doc_id, docs.text)}
+    dfreq = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] += 1
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            ((round(c * math.log(4 / dfreq[t]), 6), t) for t, c in tf.items()
+             if dfreq[t] < 4 or True),
+            key=lambda x: (-x[0], x[1]))[:2]
+        sub = got[got.doc_id == i].sort_values(
+            ["tfidf", "tok"], ascending=[False, True])
+        assert list(zip(sub.tfidf, sub.tok)) == scored
