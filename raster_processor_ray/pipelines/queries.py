@@ -2217,6 +2217,25 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+def q_name_edit_pairs(sf_dir: str):
+    """Edit-distance-1 string similarity self-join (stages/editjoin.py,
+    FastSS deletion neighborhoods): all customer-name pairs within one
+    typo of each other — bounded candidate generation + exact vectorized
+    verify, never O(n²) comparisons."""
+    from ..stages.editjoin import edit1_self_join
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return edit1_self_join(ds, "c_custkey", "c_name")
+
+
+SQL_NAME_EDIT_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_cube_pricing(sf_dir: str):
     """CUBE grouping sets (aggregate/cube.py): count + sum(cents) over
     every subset of (returnflag, linestatus) — one input scan, coarser
@@ -2527,6 +2546,7 @@ def queries() -> dict:
         "lang_sample": q_lang_sample,
         "cube_pricing": q_cube_pricing,
         "doc_keywords": q_doc_keywords,
+        "name_edit_pairs": q_name_edit_pairs,
     }
 
 
@@ -2599,4 +2619,5 @@ def oracle_sql() -> dict:
         "lang_sample": SQL_LANG_SAMPLE,
         "cube_pricing": SQL_CUBE_PRICING,
         "doc_keywords": SQL_DOC_KEYWORDS,
+        "name_edit_pairs": SQL_NAME_EDIT_PAIRS,
     }

@@ -576,3 +576,48 @@ def test_doc_top_tfidf_small():
         sub = got[got.doc_id == i].sort_values(
             ["tfidf", "tok"], ascending=[False, True])
         assert list(zip(sub.tfidf, sub.tok)) == scored
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev = d[0]
+        d[0] = i
+        for j in range(1, n + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[n]
+
+
+def test_edit1_self_join_exact_vs_bruteforce():
+    import itertools
+
+    from raster_processor_ray.stages.editjoin import edit1_self_join
+
+    rng = np.random.default_rng(11)
+    strs = ["".join(rng.choice(list("abcd"), rng.integers(0, 7)).tolist())
+            for _ in range(150)]
+    df = pd.DataFrame({"id": np.arange(150, dtype=np.int64), "s": strs})
+    got = edit1_self_join(ray.data.from_pandas(df).repartition(4),
+                          "id", "s").to_pandas()
+    got_set = set(zip(got.id_a, got.id_b))
+    want = {(i, j) for i, j in itertools.combinations(range(150), 2)
+            if _lev(strs[i], strs[j]) <= 1}
+    assert got_set == want
+
+
+def test_edit1_verify_kernel_exhaustive():
+    import itertools
+
+    from raster_processor_ray.stages.editjoin import _verify_pairs
+
+    # every string over {a,b} up to length 3: all pairs, exact oracle
+    strs = [""] + ["".join(p) for L in (1, 2, 3)
+                   for p in itertools.product("ab", repeat=L)]
+    pairs = list(itertools.combinations(strs, 2)) + [(s, s) for s in strs]
+    sa = np.array([a for a, _ in pairs], dtype=object)
+    sb = np.array([b for _, b in pairs], dtype=object)
+    got = _verify_pairs(sa.copy(), sb.copy())
+    want = np.array([_lev(a, b) <= 1 for a, b in pairs])
+    assert (got == want).all()
