@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "top_terms", "zorder_keys", "heavy_parts", "user_cumsum",
     "user_rolling", "lineitem_ranks", "price_stats", "props_stats",
     "events_profile", "vocab_encode", "lang_sample", "nation_balance_full",
+    "cube_pricing", "doc_keywords", "name_edit_pairs",
 ]
 
 
