@@ -2236,6 +2236,18 @@ FROM customer a JOIN customer b
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means (stages/kmeans.py): fit 8 clusters over the
+    embeddings (4 Lloyd iterations, each one streamed pass with
+    k-bounded partials) and emit the final (vec_id, cluster) labels.
+    Iterative — no SQL oracle; pinned by the local-Lloyd parity test."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, 8, iters=4)
+    return kmeans_assign(ds, cents)
+
+
 def q_cube_pricing(sf_dir: str):
     """CUBE grouping sets (aggregate/cube.py): count + sum(cents) over
     every subset of (returnflag, linestatus) — one input scan, coarser
@@ -2547,6 +2559,7 @@ def queries() -> dict:
         "cube_pricing": q_cube_pricing,
         "doc_keywords": q_doc_keywords,
         "name_edit_pairs": q_name_edit_pairs,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 

@@ -621,3 +621,43 @@ def test_edit1_verify_kernel_exhaustive():
     got = _verify_pairs(sa.copy(), sb.copy())
     want = np.array([_lev(a, b) <= 1 for a, b in pairs])
     assert (got == want).all()
+
+def test_kmeans_matches_local_lloyd():
+    from raster_processor_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(46)
+    k, d, per = 4, 8, 200
+    centers = rng.normal(0, 10, (k, d))              # well separated
+    vecs = np.concatenate([c + rng.normal(0, 0.3, (per, d))
+                           for c in centers])
+    ids = np.arange(k * per, dtype=np.int64)
+    perm = rng.permutation(k * per)
+    df = pd.DataFrame({
+        "vec_id": ids[perm],
+        "embedding": [v.tolist() for v in vecs[perm].astype(np.float32)],
+    })
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(df.vec_id.to_numpy()),
+        "embedding": pa.array(df.embedding.tolist(),
+                              type=pa.list_(pa.float32())),
+    })).repartition(5)
+    cents, counts = kmeans_fit(ds, k, iters=4)
+    # local oracle: same deterministic init (k smallest vec_ids)
+    order = np.argsort(df.vec_id.to_numpy())
+    m = np.stack(df.embedding.to_numpy())[order].astype(np.float64)
+    c0 = m[:k].copy()
+    for _ in range(4):
+        dmat = (c0 * c0).sum(1)[None, :] - 2.0 * (m @ c0.T)
+        a = dmat.argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                c0[c] = m[a == c].mean(0)
+    np.testing.assert_allclose(np.sort(cents, axis=0),
+                               np.sort(c0, axis=0), atol=1e-9)
+    assert counts.sum() == k * per
+    lab = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    assert len(lab) == k * per
+    # labels match the local oracle's assignment under its centroids
+    dmat = (c0 * c0).sum(1)[None, :] - 2.0 * (m @ c0.T)
+    want = dmat.argmin(1)
+    np.testing.assert_array_equal(lab.cluster.to_numpy(), want)
