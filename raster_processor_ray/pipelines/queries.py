@@ -2236,6 +2236,49 @@ FROM customer a JOIN customer b
 """
 
 
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance of the embeddings from the one-pass
+    covariance partials (aggregate/covariance.py): one GEMM per batch,
+    blocks-many d²-sized partials, driver fold. Oracle unnests the list
+    column; both sides round to 6 (float sums are order-sensitive)."""
+    from ..aggregate.covariance import covariance_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    n, mean, cov = covariance_matrix(ds)
+    d = len(mean)
+    return pd.DataFrame({
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "mean_v": np.round(mean, 6),
+        "var_v": np.round(np.diag(cov), 6),
+    })
+
+
+SQL_EMBED_DIM_STATS = """
+WITH u AS (
+  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT dim, round(avg(v), 6) AS mean_v, round(var_samp(v), 6) AS var_v
+FROM u GROUP BY 1
+"""
+
+
+def q_pca_coords(sf_dir: str):
+    """PCA projection (aggregate/covariance.py): top-4 principal
+    coordinates per vector — covariance one-pass, driver eigh, broadcast
+    components, stateless projection pass. Rows-only check (float
+    eigenvectors aren't SQL-reproducible); pinned by the NumPy parity
+    test."""
+    from ..aggregate.covariance import (covariance_matrix, pca_components,
+                                        pca_project)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, mean, cov = covariance_matrix(ds)
+    _, comps = pca_components(cov, 4)
+    return pca_project(ds, mean, comps)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed k-means (stages/kmeans.py): fit 8 clusters over the
     embeddings (4 Lloyd iterations, each one streamed pass with
@@ -2560,6 +2603,8 @@ def queries() -> dict:
         "doc_keywords": q_doc_keywords,
         "name_edit_pairs": q_name_edit_pairs,
         "kmeans_clusters": q_kmeans_clusters,
+        "embed_dim_stats": q_embed_dim_stats,
+        "pca_coords": q_pca_coords,
     }
 
 
@@ -2633,4 +2678,5 @@ def oracle_sql() -> dict:
         "cube_pricing": SQL_CUBE_PRICING,
         "doc_keywords": SQL_DOC_KEYWORDS,
         "name_edit_pairs": SQL_NAME_EDIT_PAIRS,
+        "embed_dim_stats": SQL_EMBED_DIM_STATS,
     }

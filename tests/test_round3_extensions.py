@@ -661,3 +661,34 @@ def test_kmeans_matches_local_lloyd():
     dmat = (c0 * c0).sum(1)[None, :] - 2.0 * (m @ c0.T)
     want = dmat.argmin(1)
     np.testing.assert_array_equal(lab.cluster.to_numpy(), want)
+
+def test_covariance_and_pca_vs_numpy():
+    from raster_processor_ray.aggregate.covariance import (
+        covariance_matrix, pca_components, pca_project)
+
+    rng = np.random.default_rng(47)
+    n, d = 1200, 6
+    base = rng.normal(0, 1, (n, 3)) @ rng.normal(0, 2, (3, d))
+    vecs = (base + rng.normal(0, 0.05, (n, d))).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })).repartition(5)
+    got_n, got_mean, got_cov = covariance_matrix(ds)
+    m = vecs.astype(np.float64)
+    assert got_n == n
+    np.testing.assert_allclose(got_mean, m.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(got_cov, np.cov(m, rowvar=False), atol=1e-8)
+    w, comps = pca_components(got_cov, 3)
+    assert w[0] >= w[1] >= w[2] > 0
+    # components orthonormal
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+    proj = pca_project(ds, got_mean, comps).to_pandas() \
+        .sort_values("vec_id")
+    want = (m - m.mean(axis=0)) @ comps.T
+    np.testing.assert_allclose(np.stack(proj.pc.to_numpy()), want,
+                               atol=1e-9)
+    # top-3 PCs capture the rank-3 structure
+    assert w[:3].sum() / np.trace(got_cov) > 0.99
