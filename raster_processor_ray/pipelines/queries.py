@@ -2236,6 +2236,27 @@ FROM customer a JOIN customer b
 """
 
 
+def q_docs_lang_enriched(sf_dir: str):
+    """Skew-aware join (stages/skewjoin.py): enrich each doc with its
+    language's corpus count. lang is Zipf-skewed, so hot languages are
+    broadcast-merged map-side (zero shuffle) while tail languages take
+    the partitioned path — no reducer ever holds a hot key's rows."""
+    from ..stages.skewjoin import skew_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    dim = hash_aggregate(docs, "lang", {"lang_docs": (None, "count")},
+                         num_buckets=2)
+    return skew_join(docs, dim, "lang", k=20)
+
+
+SQL_DOCS_LANG_ENRICHED = """
+SELECT d.doc_id, d.lang, ld.lang_docs
+FROM documents d
+JOIN (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY 1) ld
+  USING (lang)
+"""
+
+
 def q_embed_dim_stats(sf_dir: str):
     """Per-dimension mean/variance of the embeddings from the one-pass
     covariance partials (aggregate/covariance.py): one GEMM per batch,
@@ -2605,6 +2626,7 @@ def queries() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "embed_dim_stats": q_embed_dim_stats,
         "pca_coords": q_pca_coords,
+        "docs_lang_enriched": q_docs_lang_enriched,
     }
 
 
@@ -2679,4 +2701,5 @@ def oracle_sql() -> dict:
         "doc_keywords": SQL_DOC_KEYWORDS,
         "name_edit_pairs": SQL_NAME_EDIT_PAIRS,
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
+        "docs_lang_enriched": SQL_DOCS_LANG_ENRICHED,
     }

@@ -692,3 +692,40 @@ def test_covariance_and_pca_vs_numpy():
                                atol=1e-9)
     # top-3 PCs capture the rank-3 structure
     assert w[:3].sum() / np.trace(got_cov) > 0.99
+
+def test_skew_join_matches_pandas_merge():
+    from raster_processor_ray.stages.skewjoin import skew_join
+
+    rng = np.random.default_rng(48)
+    n = 20000
+    # zipf-ish: key 0 holds ~30% of rows, long uniform tail
+    keys = np.where(rng.random(n) < 0.3, 0,
+                    rng.integers(1, 2000, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 2000, 2, dtype=np.int64)})
+    right["rv"] = right.k * 10
+    got = skew_join(ray.data.from_pandas(left).repartition(8),
+                    ray.data.from_pandas(right).repartition(2),
+                    "k", k=50).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    g = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    w = want.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g.k.to_numpy() == w.k.to_numpy()).all()
+    assert (g.lv.to_numpy() == w.lv.to_numpy()).all()
+    assert (g.rv.to_numpy() == w.rv.to_numpy()).all()
+
+
+def test_skew_join_no_hot_keys_falls_back():
+    from raster_processor_ray.stages.skewjoin import skew_join
+
+    left = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                         "lv": np.arange(1000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 1000, 3, dtype=np.int64),
+                          "rv": np.arange(0, 1000, 3, dtype=np.int64)})
+    got = skew_join(ray.data.from_pandas(left).repartition(4),
+                    ray.data.from_pandas(right).repartition(2),
+                    "k", k=10).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    assert set(zip(got.k, got.rv)) == set(zip(want.k, want.rv))
