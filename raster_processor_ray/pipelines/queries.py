@@ -2236,6 +2236,49 @@ FROM customer a JOIN customer b
 """
 
 
+def q_quality_filtered_counts(sf_dir: str):
+    """Quantile-threshold curation (composition): global exact p75 of
+    n_chars (one bounded histogram exchange) -> broadcast the scalar ->
+    map-side filter -> per-language counts. The percentile-based
+    quality gate of a training-data pipeline, with no global sort and
+    no driver-side data."""
+    from ..aggregate.quantiles import quantile_disc
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column("_g", pa.array(
+            np.zeros(b.num_rows, dtype=np.int64)))
+
+    qd = quantile_disc(ds.map_batches(const_key, batch_format="pyarrow"),
+                       "_g", "n_chars", [0.75],
+                       num_buckets=2).to_pandas()
+    thr = int(qd["q_75"].iloc[0])
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n_chars"], thr))
+
+    return hash_aggregate(ds.map_batches(flt, batch_format="pyarrow"),
+                          "lang", {"n": (None, "count")}, num_buckets=2)
+
+
+SQL_QUALITY_FILTERED_COUNTS = """
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS nn
+  FROM documents
+), thr AS (
+  SELECT min(n_chars) AS v FROM ranked
+  WHERE rn >= CAST(ceil(0.75 * nn) AS BIGINT)
+)
+SELECT d.lang, count(*) AS n
+FROM documents d, thr
+WHERE d.n_chars > thr.v
+GROUP BY 1
+"""
+
+
 def q_docs_lang_enriched(sf_dir: str):
     """Skew-aware join (stages/skewjoin.py): enrich each doc with its
     language's corpus count. lang is Zipf-skewed, so hot languages are
@@ -2627,6 +2670,7 @@ def queries() -> dict:
         "embed_dim_stats": q_embed_dim_stats,
         "pca_coords": q_pca_coords,
         "docs_lang_enriched": q_docs_lang_enriched,
+        "quality_filtered_counts": q_quality_filtered_counts,
     }
 
 
@@ -2702,4 +2746,5 @@ def oracle_sql() -> dict:
         "name_edit_pairs": SQL_NAME_EDIT_PAIRS,
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
         "docs_lang_enriched": SQL_DOCS_LANG_ENRICHED,
+        "quality_filtered_counts": SQL_QUALITY_FILTERED_COUNTS,
     }
