@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "user_rolling", "lineitem_ranks", "price_stats", "props_stats",
     "events_profile", "vocab_encode", "lang_sample", "nation_balance_full",
     "cube_pricing", "doc_keywords", "name_edit_pairs",
+    "kmeans_clusters", "pca_coords", "docs_lang_enriched",
+    "quality_filtered_counts", "repetition_stats", "decontam_overlap",
+    "url_domains",
 ]
 
 

@@ -2582,6 +2582,118 @@ GROUP BY 1
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (stages/webtext.py):
+    distinct-token ratio and top-token fraction — one RE2 split + one
+    lexsort run-length pass per batch, fully batch-local (no shuffle)."""
+    from ..stages.webtext import repetition_stats_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), pertok AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS max_tok_n
+  FROM pertok GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.max_tok_n, 0) AS max_tok_n,
+       round(coalesce(a.n_distinct / a.n_tokens, 0), 6) AS distinct_ratio,
+       round(coalesce(a.max_tok_n / a.n_tokens, 0), 6) AS top_tok_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_decontam_overlap(sf_dir: str):
+    """Train/test decontamination (stages/webtext.py): docs with
+    ``doc_id % 97 == 0`` are the 'benchmark'; every other doc is flagged
+    with its count of DISTINCT word 3-grams shared with the benchmark.
+    Benchmark gram-hash set: one bounded distinct + broadcast; corpus:
+    one streamed actor-pool pass, no shuffle."""
+    from ..stages.webtext import decontam_flags
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = (ids % 97 == 0) if keep_bench else (ids % 97 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    rest = docs.map_batches(side(False), batch_format="pyarrow")
+    return decontam_flags(rest, bench, ngram=3)
+
+
+SQL_DECONTAM_OVERLAP = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         array_to_string(toks[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                         ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_contam
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
+def q_url_domains(sf_dir: str):
+    """Per-domain corpus stats: pages synthesized from documents (the
+    flagship's deterministic url scheme), REAL url parsing with one RE2
+    extract per batch (stages/webtext.py parse_url_batch), then a
+    bounded per-host aggregate. The oracle reconstructs the host from
+    ``source`` algebraically — the engine actually parses."""
+    from ..stages.webtext import parse_url_batch
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        src = b["source"].to_pylist()
+        urls = [f"https://{s}.example/d/{i}" for s, i in zip(src, ids)]
+        return pa.table({"url": pa.array(urls), "text": b["text"]})
+
+    def host_chars(b: pa.Table) -> pa.Table:
+        b = parse_url_batch(b)
+        return pa.table({
+            "host": b["host"],
+            "chars": pc.utf8_length(pc.fill_null(b["text"], "")).cast(pa.int64()),
+        })
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    parsed = pages.map_batches(host_chars, batch_format="pyarrow")
+    return hash_aggregate(parsed, "host", {
+        "n_pages": (None, "count"), "total_chars": ("chars", "sum")},
+        num_buckets=2)
+
+
+SQL_URL_DOMAINS = """
+SELECT source || '.example' AS host, count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -2671,6 +2783,9 @@ def queries() -> dict:
         "pca_coords": q_pca_coords,
         "docs_lang_enriched": q_docs_lang_enriched,
         "quality_filtered_counts": q_quality_filtered_counts,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
+        "url_domains": q_url_domains,
     }
 
 
@@ -2747,4 +2862,7 @@ def oracle_sql() -> dict:
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
         "docs_lang_enriched": SQL_DOCS_LANG_ENRICHED,
         "quality_filtered_counts": SQL_QUALITY_FILTERED_COUNTS,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "decontam_overlap": SQL_DECONTAM_OVERLAP,
+        "url_domains": SQL_URL_DOMAINS,
     }

@@ -729,3 +729,78 @@ def test_skew_join_no_hot_keys_falls_back():
     want = left.merge(right, on="k")
     assert len(got) == len(want)
     assert set(zip(got.k, got.rv)) == set(zip(want.k, want.rv))
+
+
+def _pyloop_rep_stats(texts):
+    import re
+    rows = []
+    for t in texts:
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        from collections import Counter
+        c = Counter(toks)
+        n = len(toks)
+        rows.append((n, len(c), max(c.values()) if c else 0,
+                     round(len(c) / n, 6) if n else 0.0,
+                     round(max(c.values()) / n, 6) if c else 0.0))
+    return rows
+
+
+def test_repetition_stats_vs_row_loop():
+    from raster_processor_ray.stages.webtext import repetition_stats_batch
+
+    texts = ["the the the cat", "", None, "a b c a b a", "Mixed CASE case",
+             "x" * 50, "one-two one_two one two", "ümlaut tökens here"]
+    batch = pa.table({"doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+    got = repetition_stats_batch(batch).to_pandas()
+    want = _pyloop_rep_stats(texts)
+    for i, (nt, nd, mx, dr, tf) in enumerate(want):
+        r = got.iloc[i]
+        assert (r.n_tokens, r.n_distinct, r.max_tok_n) == (nt, nd, mx), i
+        assert abs(r.distinct_ratio - dr) < 1e-9 and abs(r.top_tok_frac - tf) < 1e-9
+
+
+def test_decontam_flags_vs_set_oracle(ray_session):
+    import re
+    from raster_processor_ray.stages.webtext import decontam_flags
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 15)))
+             for _ in range(300)]
+    ids = np.arange(300, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    is_bench = ids % 7 == 0
+
+    def grams(t):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    bench_set = set()
+    for t in df.text[is_bench]:
+        bench_set |= grams(t)
+    want = {}
+    for i, t in zip(ids[~is_bench], df.text[~is_bench]):
+        k = len(grams(t) & bench_set)
+        if k:
+            want[int(i)] = k
+
+    got = decontam_flags(
+        ray.data.from_pandas(df[~is_bench]).repartition(4),
+        ray.data.from_pandas(df[is_bench]).repartition(2),
+        ngram=3, concurrency=2).to_pandas()
+    assert dict(zip(got.doc_id.astype(int), got.n_contam.astype(int))) == want
+
+
+def test_parse_url_batch():
+    from raster_processor_ray.stages.webtext import parse_url_batch
+
+    urls = ["https://a.example/d/1", "http://x.org/p?q=1#f",
+            "ftp://files.net", "not a url", None,
+            "https://h.example:8080/path/deep?x"]
+    b = pa.table({"url": pa.array(urls, type=pa.string())})
+    out = parse_url_batch(b).to_pandas()
+    assert list(out.scheme) == ["https", "http", "ftp", "", "", "https"]
+    assert list(out.host) == ["a.example", "x.org", "files.net", "", "",
+                              "h.example:8080"]
+    assert list(out.path) == ["/d/1", "/p", "", "", "", "/path/deep"]
