@@ -2694,6 +2694,24 @@ FROM documents GROUP BY 1
 """
 
 
+def q_bpe_top_pieces(sf_dir: str):
+    """Subword tokenizer end-to-end (pipelines/bpe.py): learn 30 BPE
+    merges from the bounded word-frequency table, broadcast the ranked
+    merges, encode the corpus in one actor-pool pass, and report the
+    top-50 pieces by count (ties: piece asc). Rows-only — iterative
+    merge learning is not ANSI-SQL-expressible; the trainer/encoder are
+    pinned by golden tests against a reference implementation."""
+    from ..aggregate.relational import topk
+    from .bpe import bpe_encode, train_bpe
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=30)
+    enc = bpe_encode(docs, merges, concurrency=2)
+    counts = hash_aggregate(enc, "piece", {"n": (None, "count")},
+                            num_buckets=4)
+    return topk(counts, "n", 50, descending=True, tie_col="piece")
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -2786,6 +2804,7 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "decontam_overlap": q_decontam_overlap,
         "url_domains": q_url_domains,
+        "bpe_top_pieces": q_bpe_top_pieces,
     }
 
 

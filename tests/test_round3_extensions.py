@@ -804,3 +804,74 @@ def test_parse_url_batch():
     assert list(out.host) == ["a.example", "x.org", "files.net", "", "",
                               "h.example:8080"]
     assert list(out.path) == ["/d/1", "/p", "", "", "", "/path/deep"]
+
+
+def _ref_bpe_train(word_counts, num_merges):
+    """From-first-principles BPE reference (dict/loop, no sharing with
+    the engine implementation's internals beyond the algorithm)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(num_merges):
+        pc_ = {}
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc_[(s[i], s[i + 1])] = pc_.get((s[i], s[i + 1]), 0) + c
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w in seqs:
+            s, i = seqs[w], 0
+            while i < len(s) - 1:
+                if (s[i], s[i + 1]) == best:
+                    s[i:i + 2] = [s[i] + s[i + 1]]
+                else:
+                    i += 1
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    from raster_processor_ray.pipelines.bpe import train_bpe
+
+    rng = np.random.default_rng(5)
+    vocab = ["lower", "lowest", "newer", "newest", "wider", "low", "new"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+             for _ in range(200)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    got = train_bpe(ds, num_merges=12)
+
+    import re
+    wc = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    want = _ref_bpe_train(wc, 12)
+    assert got == want
+
+
+def test_bpe_encode_roundtrip_and_greedy(ray_session):
+    from raster_processor_ray.pipelines.bpe import (bpe_encode, encode_word,
+                                                    train_bpe)
+
+    texts = ["the theme thermos there", "other lather the the",
+             "THE Theme!", ""]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    merges = train_bpe(ds, num_merges=8)
+    enc = bpe_encode(ds, merges, concurrency=1).to_pandas()
+    # concatenating a doc's pieces in pos order reproduces its words
+    import re
+    for d in range(4):
+        words = re.findall(r"[a-z0-9]+", texts[d].lower())
+        pieces = enc[enc.doc_id == d].sort_values("pos").piece.tolist()
+        assert "".join(pieces) == "".join(words)
+    # each word's piece split agrees with the canonical greedy algorithm
+    ranks = {tuple(m): r for r, m in enumerate(merges)}
+    got = enc[enc.doc_id == 0].sort_values("pos").piece.tolist()
+    want = [p for w in re.findall(r"[a-z0-9]+", texts[0].lower())
+            for p in encode_word(w, ranks)]
+    assert got == want
+    # merges actually fire: some piece is multi-char
+    assert any(len(p) > 1 for p in enc.piece)
