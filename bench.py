@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "cube_pricing", "doc_keywords", "name_edit_pairs",
     "kmeans_clusters", "pca_coords", "docs_lang_enriched",
     "quality_filtered_counts", "repetition_stats", "decontam_overlap",
-    "url_domains",
+    "url_domains", "bpe_top_pieces", "pii_scrub", "para_dedup",
 ]
 
 

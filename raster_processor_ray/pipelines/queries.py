@@ -2712,6 +2712,100 @@ def q_bpe_top_pieces(sf_dir: str):
     return topk(counts, "n", 50, descending=True, tie_col="piece")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (stages/pii.py): PII-bearing spans are synthesized
+    deterministically from doc_id (the testdata texts carry none), then
+    the REAL scrub kernel runs — per-pattern match counts on the
+    original text + chained RE2 replacement. Arrow and DuckDB share the
+    RE2 engine, so counts and scrubbed bytes match exactly."""
+    from ..stages.pii import pii_scrub
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_pii(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        ids = df.doc_id.to_numpy(dtype=np.int64)
+        s = pd.Series(ids).astype(str)
+        df["text"] = (df.text.fillna("").to_numpy()
+                      + (" reach user" + s + "@ex"
+                         + pd.Series(ids % 5).astype(str) + ".com ip 10."
+                         + pd.Series(ids % 256).astype(str) + ".0."
+                         + pd.Series(ids % 100).astype(str) + " tel 555-"
+                         + pd.Series(ids % 1000).astype(str).str.zfill(3)
+                         + "-"
+                         + pd.Series(ids % 10000).astype(str).str.zfill(4)
+                         ).to_numpy())
+        return df
+
+    out = pii_scrub(docs.map_batches(add_pii, batch_format="pandas"))
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_emails", "n_ips", "n_phones",
+                            "text_scrubbed"]),
+        batch_format="pyarrow")
+
+
+def _sql_pii():
+    from ..stages.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    aug = ("coalesce(text, '') || ' reach user' || CAST(doc_id AS VARCHAR)"
+           " || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.com ip 10.'"
+           " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+           " || CAST(doc_id % 100 AS VARCHAR) || ' tel 555-'"
+           " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+           " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed
+FROM aug
+"""
+
+
+def q_para_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (stages/paradedup.py): paragraph
+    breaks are synthesized by rewriting a common word to newline (same
+    rewrite in the oracle — left-to-right literal replace agrees
+    byte-for-byte), then the REAL pipeline runs: explode -> corpus-wide
+    keep-first on exact paragraph strings -> binary_join reassembly."""
+    from ..stages.paradedup import paragraph_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_breaks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["text"] = df.text.fillna("").str.replace(" merge ", "\n",
+                                                    regex=False)
+        return df
+
+    return paragraph_dedup(docs.map_batches(add_breaks,
+                                            batch_format="pandas"))
+
+
+SQL_PARA_DEDUP = """
+WITH aug AS (SELECT doc_id, replace(coalesce(text, ''), ' merge ', chr(10)) AS t
+             FROM documents),
+split AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM aug),
+paras AS (SELECT doc_id,
+                 unnest(generate_series(1, len(l))) AS i,
+                 unnest(l) AS para
+          FROM split),
+kept AS (SELECT doc_id, i, para FROM paras
+         QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, i) = 1)
+SELECT p.doc_id,
+       count(*) AS n_paras,
+       count(k.para) AS n_kept,
+       string_agg(k.para, chr(10) ORDER BY p.i) AS text_dedup
+FROM paras p LEFT JOIN kept k ON p.doc_id = k.doc_id AND p.i = k.i
+GROUP BY p.doc_id
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -2805,6 +2899,8 @@ def queries() -> dict:
         "decontam_overlap": q_decontam_overlap,
         "url_domains": q_url_domains,
         "bpe_top_pieces": q_bpe_top_pieces,
+        "pii_scrub": q_pii_scrub,
+        "para_dedup": q_para_dedup,
     }
 
 
@@ -2884,4 +2980,6 @@ def oracle_sql() -> dict:
         "repetition_stats": SQL_REPETITION_STATS,
         "decontam_overlap": SQL_DECONTAM_OVERLAP,
         "url_domains": SQL_URL_DOMAINS,
+        "pii_scrub": _sql_pii(),
+        "para_dedup": SQL_PARA_DEDUP,
     }

@@ -875,3 +875,69 @@ def test_bpe_encode_roundtrip_and_greedy(ray_session):
     assert got == want
     # merges actually fire: some piece is multi-char
     assert any(len(p) > 1 for p in enc.piece)
+
+
+def test_pii_scrub_batch():
+    from raster_processor_ray.stages.pii import pii_scrub_batch
+
+    texts = [
+        "mail a.b-c%d@sub.ex.com and x@y.io now",
+        "server at 10.0.255.3 or 192.168.1.1, call 555-123-4567",
+        "no pii here",
+        None,
+        "overlap 1.2.3.4 trail",
+    ]
+    b = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(texts, type=pa.string())})
+    out = pii_scrub_batch(b).to_pandas()
+    assert list(out.n_emails) == [2, 0, 0, 0, 0]
+    assert list(out.n_ips) == [0, 2, 0, 0, 1]
+    assert list(out.n_phones) == [0, 1, 0, 0, 0]
+    assert out.text_scrubbed[0] == "mail <EMAIL> and <EMAIL> now"
+    assert out.text_scrubbed[1] == "server at <IP> or <IP>, call <PHONE>"
+    assert out.text_scrubbed[2] == "no pii here"
+    assert out.text_scrubbed[3] == ""      # null -> ''
+    assert out.text_scrubbed[4] == "overlap <IP> trail"
+    # original text column untouched (scrub appends, never rewrites)
+    assert out.text[0] == texts[0]
+
+
+def test_paragraph_dedup_keep_first(ray_session):
+    from raster_processor_ray.stages.paradedup import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "text": ["alpha\nbeta\ngamma",   # all first occurrences
+                 "beta\ndelta",          # beta dropped, delta kept
+                 "alpha\nbeta",          # fully emptied
+                 ""],                    # one empty para (first '' wins)
+    })
+    out = (paragraph_dedup(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.n_paras) == [3, 2, 2, 1]
+    assert list(out.n_kept) == [3, 1, 0, 1]
+    assert out.text_dedup[0] == "alpha\nbeta\ngamma"
+    assert out.text_dedup[1] == "delta"
+    assert out.text_dedup[2] is None or pd.isna(out.text_dedup[2])
+    assert out.text_dedup[3] == ""
+
+
+def test_paragraph_dedup_order_within_doc(ray_session):
+    """Surviving paragraphs keep their ORIGINAL in-doc order, and
+    keep-first is by (doc_id, para_idx) — a later doc never steals a
+    paragraph from an earlier one regardless of block layout."""
+    from raster_processor_ray.stages.paradedup import paragraph_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([5, 9], dtype=np.int64),
+        "text": ["z\na\nz\nm", "a\nq\nz"],
+    })
+    # reversed block order: doc 9 arrives first physically
+    ds = ray.data.from_pandas(docs.iloc[::-1].reset_index(drop=True))
+    out = (paragraph_dedup(ds.repartition(2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 5: z(first), a(first), z(dup-of-own), m -> "z\na\nm"
+    assert out.text_dedup[0] == "z\na\nm"
+    # doc 9: a and z already taken by doc 5 -> only q survives
+    assert out.text_dedup[1] == "q"
+    assert list(out.n_kept) == [3, 1]
