@@ -2806,6 +2806,83 @@ GROUP BY p.doc_id
 """
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity scoring (pipelines/lm.py): docs with
+    ``doc_id % 97 == 0`` are the reference/training slice; every other
+    doc gets its add-one-smoothed average negative log-likelihood.
+    Int64 micro-nat quantization makes the result parallelism-
+    independent and bit-identical to the oracle."""
+    from .lm import score_perplexity, train_bigram_lm
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(keep_train: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = (ids % 97 == 0) if keep_train else (ids % 97 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    train = docs.map_batches(side(True), batch_format="pyarrow")
+    rest = docs.map_batches(side(False), batch_format="pyarrow")
+    model = train_bigram_lm(train)
+    return score_perplexity(rest, model, concurrency=2)
+
+
+SQL_LM_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tok WHERE len(toks) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM big WHERE doc_id % 97 = 0 GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 97 = 0)
+), q AS (
+  SELECT b.doc_id,
+         CAST(floor(ln((coalesce(c.c12, 0) + 1.0)
+                       / (coalesce(h.c1, 0) + v.v)) * 1000000 + 0.5)
+              AS BIGINT) AS qlp
+  FROM big b LEFT JOIN c12 c USING (w1, w2)
+             LEFT JOIN c1 h USING (w1)
+             CROSS JOIN v
+  WHERE b.doc_id % 97 <> 0
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       floor(-CAST(sum(qlp) AS DOUBLE) / (1000000.0 * count(*))
+             * 1000000 + 0.5) / 1000000 AS avg_nll
+FROM q GROUP BY 1
+"""
+
+
+BM25_TERMS = ["spark", "window", "hash", "vector"]
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 lexical retrieval (pipelines/bm25.py): one streamed feature
+    pass (corpus read once), bounded global-stats fold, stateless
+    scoring, streaming top-20. Float parity notes in the module
+    docstring — the score doubles are bit-identical to the oracle's."""
+    from .bm25 import bm25_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, BM25_TERMS, 20)
+
+
+def _sql_bm25():
+    from .bm25 import bm25_sql
+
+    return bm25_sql(BM25_TERMS, 20)
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -2901,6 +2978,8 @@ def queries() -> dict:
         "bpe_top_pieces": q_bpe_top_pieces,
         "pii_scrub": q_pii_scrub,
         "para_dedup": q_para_dedup,
+        "bm25_search": q_bm25_search,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2982,4 +3061,6 @@ def oracle_sql() -> dict:
         "url_domains": SQL_URL_DOMAINS,
         "pii_scrub": _sql_pii(),
         "para_dedup": SQL_PARA_DEDUP,
+        "bm25_search": _sql_bm25(),
+        "lm_perplexity": SQL_LM_PERPLEXITY,
     }

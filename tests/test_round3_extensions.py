@@ -941,3 +941,89 @@ def test_paragraph_dedup_order_within_doc(ray_session):
     # doc 9: a and z already taken by doc 5 -> only q survives
     assert out.text_dedup[1] == "q"
     assert list(out.n_kept) == [3, 1]
+
+
+def test_bm25_matches_loop_reference(ray_session):
+    """Engine BM25 vs an independent dict/loop implementation."""
+    import math
+    import re
+
+    from raster_processor_ray.pipelines.bm25 import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["query", "spark", "hash", "tile", "join", "scan", "x9"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": texts})
+    terms = ["spark", "x9"]
+    got = (bm25_topk(ray.data.from_pandas(df).repartition(5), terms, 10)
+           .to_pandas().reset_index(drop=True))
+
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    dls = [len(t) for t in toks]
+    n, avgdl = len(toks), sum(dls) / len(toks)
+    scores = []
+    for d, tk in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for o in toks if t in o)
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+        scores.append((d, s))
+    want = sorted(scores, key=lambda x: (-x[1], x[0]))[:10]
+    assert list(got.doc_id) == [d for d, _ in want]
+    np.testing.assert_allclose(got.score, [round(s, 6) for _, s in want],
+                               atol=1e-6)
+
+
+def test_lm_perplexity_matches_loop_reference(ray_session):
+    """Engine bigram LM vs an independent dict/loop implementation
+    (same micro-nat quantization)."""
+    import math
+    import re
+
+    from raster_processor_ray.pipelines.lm import (score_perplexity,
+                                                   train_bigram_lm)
+
+    rng = np.random.default_rng(3)
+    vocab = ["a", "bb", "ccc", "dd", "e5"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 15)))
+             for _ in range(80)]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts})
+    train_df = df[df.doc_id % 3 == 0]
+    rest_df = df[df.doc_id % 3 != 0]
+    model = train_bigram_lm(ray.data.from_pandas(train_df).repartition(3))
+    got = (score_perplexity(ray.data.from_pandas(rest_df).repartition(4),
+                            model, concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    tok = {int(r.doc_id): re.findall(r"[a-z0-9]+", r.text.lower())
+           for r in df.itertuples()}
+    c12, c1, vocab_set = {}, {}, set()
+    for d in train_df.doc_id:
+        ts = tok[int(d)]
+        vocab_set.update(ts)
+        for w1, w2 in zip(ts, ts[1:]):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    V = len(vocab_set)
+    rows = []
+    for d in rest_df.doc_id:
+        ts = tok[int(d)]
+        if len(ts) < 2:
+            continue
+        qs = [math.floor(math.log((c12.get((w1, w2), 0) + 1.0)
+                                  / (c1.get(w1, 0) + V)) * 1e6 + 0.5)
+              for w1, w2 in zip(ts, ts[1:])]
+        x = -sum(qs) / (1e6 * len(qs))
+        rows.append((int(d), len(qs), math.floor(x * 1e6 + 0.5) / 1e6))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "avg_nll"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # docs with < 2 tokens emit no row
+    short = [int(d) for d in rest_df.doc_id if len(tok[int(d)]) < 2]
+    assert not set(short) & set(got.doc_id)
