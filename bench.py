@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "kmeans_clusters", "pca_coords", "docs_lang_enriched",
     "quality_filtered_counts", "repetition_stats", "decontam_overlap",
     "url_domains", "bpe_top_pieces", "pii_scrub", "para_dedup",
-    "bm25_search", "lm_perplexity",
+    "bm25_search", "lm_perplexity", "pack_sequences",
 ]
 
 

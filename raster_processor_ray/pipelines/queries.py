@@ -2863,6 +2863,47 @@ FROM q GROUP BY 1
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-shard sequence packing (pipelines/packing.py): top-200
+    vocab -> integer encode -> concatenate the token stream in
+    (doc_id, pos) order with EOS=200 per doc -> 128-token sequences,
+    trailing partial dropped. Distributed prefix-sum via range-bucket
+    bases; one bucketed exchange for position assignment."""
+    from .packing import pack_sequences
+    from .vocab import build_vocab, encode_tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocab(ds, size=200)
+    enc = encode_tokens(ds, vocab, concurrency=2)
+    return pack_sequences(enc, seq_len=128, eos_id=200)
+
+
+SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(tl, 1) AS BIGINT) AS pos,
+         unnest(tl) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        FROM documents)
+), counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+vocab AS (
+  SELECT tok,
+         CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+           AS token_id
+  FROM counts QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 200
+), enc AS (SELECT t.doc_id, t.pos, v.token_id FROM toks t JOIN vocab v USING (tok)),
+eos AS (SELECT doc_id, max(pos) + 1 AS pos, 200 AS token_id FROM enc GROUP BY 1),
+stream AS (SELECT * FROM enc UNION ALL SELECT * FROM eos),
+gp AS (SELECT token_id, row_number() OVER (ORDER BY doc_id, pos) - 1 AS g
+       FROM stream),
+n AS (SELECT count(*) AS total FROM stream)
+SELECT CAST(g // 128 AS BIGINT) AS seq_id,
+       CAST(g % 128 AS BIGINT) AS pos_in_seq,
+       token_id
+FROM gp, n WHERE g < (total // 128) * 128
+"""
+
+
 BM25_TERMS = ["spark", "window", "hash", "vector"]
 
 
@@ -2980,6 +3021,7 @@ def queries() -> dict:
         "para_dedup": q_para_dedup,
         "bm25_search": q_bm25_search,
         "lm_perplexity": q_lm_perplexity,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3063,4 +3105,5 @@ def oracle_sql() -> dict:
         "para_dedup": SQL_PARA_DEDUP,
         "bm25_search": _sql_bm25(),
         "lm_perplexity": SQL_LM_PERPLEXITY,
+        "pack_sequences": SQL_PACK_SEQUENCES,
     }

@@ -1027,3 +1027,35 @@ def test_lm_perplexity_matches_loop_reference(ray_session):
     # docs with < 2 tokens emit no row
     short = [int(d) for d in rest_df.doc_id if len(tok[int(d)]) < 2]
     assert not set(short) & set(got.doc_id)
+
+
+def test_pack_sequences_matches_loop_reference(ray_session):
+    """Engine packing vs a straightforward driver-side reference:
+    concatenate per-doc token lists + EOS in doc order, chop, drop
+    tail. Doc ids deliberately sparse (ranges mostly empty)."""
+    from raster_processor_ray.pipelines.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    doc_ids = np.sort(rng.choice(100_000, size=60, replace=False)).astype(np.int64)
+    rows = []
+    stream_ref = []
+    for d in doc_ids:
+        n = int(rng.integers(0, 9))
+        toks = rng.integers(0, 50, size=n)
+        for p, t in enumerate(toks, start=1):
+            rows.append((d, p, int(t)))
+        if n:
+            stream_ref.extend(list(toks) + [99])
+    enc_df = pd.DataFrame(rows, columns=["doc_id", "pos", "token_id"])
+    got = (pack_sequences(ray.data.from_pandas(enc_df).repartition(5),
+                          seq_len=16, eos_id=99, range_size=1000)
+           .to_pandas().sort_values(["seq_id", "pos_in_seq"])
+           .reset_index(drop=True))
+    full = (len(stream_ref) // 16) * 16
+    want = pd.DataFrame({
+        "seq_id": np.arange(full, dtype=np.int64) // 16,
+        "pos_in_seq": np.arange(full, dtype=np.int64) % 16,
+        "token_id": np.asarray(stream_ref[:full], dtype=np.int64)})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every kept sequence is exactly seq_len long
+    assert (got.groupby("seq_id").size() == 16).all()
