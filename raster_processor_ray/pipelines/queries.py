@@ -2904,6 +2904,57 @@ FROM gp, n WHERE g < (total // 128) * 128
 """
 
 
+MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
+                   "zh": 0.05}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Training-mixture down-sampling (stages/mixture.py): per-lang
+    keep-rates applied with the deterministic int64 sampling key — a
+    stateless map, no shuffle; reruns keep exactly the same rows."""
+    from ..stages.mixture import mixture_sample
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source"])
+    return mixture_sample(docs, MIXTURE_WEIGHTS,
+                          keep_cols=["doc_id", "lang", "source"])
+
+
+def _sql_mixture():
+    import numpy as _np
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(_np.int64(min(max(w, 0.0), 1.0) * 1000000007))}"
+        for g, w in MIXTURE_WEIGHTS.items())
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (doc_id * 2654435761 + 19) % 1000000007 <
+      CASE lang {cases} ELSE 0 END
+"""
+
+
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global training shuffle (stages/mixture.py):
+    shard = hash % 8 assigned map-side, one bounded 8-group exchange
+    orders each shard by (hash, doc_id) — a reproducible permutation
+    with no random state."""
+    from ..stages.mixture import shuffle_shards
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return shuffle_shards(docs, 8, keep_cols=["doc_id", "lang"])
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (SELECT doc_id, lang,
+                  (doc_id * 2654435761 + 23) % 1000000007 AS h
+           FROM documents)
+SELECT doc_id, lang, CAST(h % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS ord
+FROM h
+"""
+
+
 BM25_TERMS = ["spark", "window", "hash", "vector"]
 
 
@@ -3022,6 +3073,8 @@ def queries() -> dict:
         "bm25_search": q_bm25_search,
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -3106,4 +3159,6 @@ def oracle_sql() -> dict:
         "bm25_search": _sql_bm25(),
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "mixture_sample": _sql_mixture(),
+        "shuffle_shards": SQL_SHUFFLE_SHARDS,
     }

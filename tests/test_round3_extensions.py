@@ -1059,3 +1059,44 @@ def test_pack_sequences_matches_loop_reference(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # every kept sequence is exactly seq_len long
     assert (got.groupby("seq_id").size() == 16).all()
+
+
+def test_mixture_sample_deterministic(ray_session):
+    from raster_processor_ray.stages.mixture import mixture_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4000, dtype=np.int64),
+        "lang": np.tile(["en", "de", "zz", "fr"], 1000)})
+    w = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    a = (mixture_sample(ray.data.from_pandas(df).repartition(2), w)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (mixture_sample(ray.data.from_pandas(df).repartition(7), w)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # partition-invariant
+    got = a.groupby("lang").size()
+    assert got.get("en", 0) == 1000              # rate 1.0: all kept
+    assert "fr" not in got.index                 # rate 0: none
+    assert "zz" not in got.index                 # unlisted group: none
+    assert 380 <= got.get("de", 0) <= 620        # rate 0.5 +- noise
+
+
+def test_shuffle_shards_is_permutation(ray_session):
+    from raster_processor_ray.stages.mixture import shuffle_shards
+
+    df = pd.DataFrame({"doc_id": np.arange(999, dtype=np.int64),
+                       "lang": ["en"] * 999})
+    out = (shuffle_shards(ray.data.from_pandas(df).repartition(4), 8)
+           .to_pandas())
+    assert len(out) == 999
+    assert sorted(out.doc_id) == list(range(999))      # permutation
+    for s, g in out.groupby("shard"):
+        assert sorted(g["ord"]) == list(range(len(g)))  # dense ordinals
+    # deterministic across partitioning
+    out2 = (shuffle_shards(ray.data.from_pandas(df).repartition(9), 8)
+            .to_pandas())
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the permutation actually breaks doc_id order within shards
+    g0 = out[out.shard == out.shard.iloc[0]].sort_values("ord")
+    assert not g0.doc_id.is_monotonic_increasing
