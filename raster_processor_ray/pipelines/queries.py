@@ -2904,6 +2904,39 @@ FROM gp, n WHERE g < (total // 128) * 128
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Corpus-internal duplicate-span stats (stages/webtext.py
+    duplicate_span_stats): per doc, its distinct word 3-grams and how
+    many appear in at least one other doc. One gram-bucketed exchange +
+    one narrow per-doc sum; nothing broadcast."""
+    from ..stages.webtext import duplicate_span_stats
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_span_stats(docs, ngram=3)
+
+
+SQL_DUP_SPANS = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                         ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+), c AS (
+  SELECT gram, count(*) AS nd FROM g GROUP BY 1
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac
+FROM g JOIN c USING (gram)
+GROUP BY 1
+"""
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -3075,6 +3108,7 @@ def queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "shuffle_shards": q_shuffle_shards,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -3161,4 +3195,5 @@ def oracle_sql() -> dict:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "mixture_sample": _sql_mixture(),
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
+        "dup_spans": SQL_DUP_SPANS,
     }

@@ -228,3 +228,69 @@ def parse_url_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
         col = pc.fill_null(pc.struct_field(parts, field), "")
         out = out.append_column(field, col)
     return out
+
+
+def duplicate_span_stats(ds, *, text_col: str = "text",
+                         id_col: str = "doc_id", ngram: int = 3,
+                         num_buckets: int = 32):
+    """Corpus-INTERNAL duplicate-span signal (the detection half of
+    substring-level dedup, Lee et al. 2022): per doc, how many of its
+    DISTINCT word n-grams also appear in at least one OTHER doc, plus
+    the fraction. Feeds the usual curation filter (drop/trim docs whose
+    span-duplication fraction is high).
+
+    Scale shape: map-side per-batch distinct (doc, gram-hash) pairs
+    (gram_hash_batch) -> ONE gram-bucketed exchange where each bucket
+    computes, vectorized across all its grams, the per-gram distinct-doc
+    count and per-doc partial tallies -> one narrow per-doc sum
+    exchange. The gram table crosses the wire once; nothing is
+    broadcast (unlike decontam_flags, the "reference set" here is the
+    corpus itself, so a broadcast set would be O(corpus))."""
+    from ..aggregate.relational import _key_bucket, hash_aggregate
+    from ..util import pin_for_shuffle
+
+    pairs = ds.map_batches(
+        lambda b: gram_hash_batch(b, text_col=text_col, id_col=id_col,
+                                  ngram=ngram),
+        batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, ["gram"], num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df["gram"].to_numpy(dtype=np.int64)
+        d = df[id_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        # exact distinct (gram, doc) pairs (batch-split docs can repeat)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        g, d = g[new], d[new]
+        # distinct-doc count per gram via run lengths
+        gnew = np.ones(len(g), dtype=bool)
+        gnew[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(gnew)
+        nd = np.diff(np.append(starts, len(g)))
+        dup = np.repeat(nd >= 2, nd)
+        out = (pd.DataFrame({id_col: d, "n_dup": dup.astype(np.int64)})
+               .groupby(id_col, as_index=False)
+               .agg(n_grams=("n_dup", "size"), n_dup=("n_dup", "sum")))
+        return out
+
+    withb = pin_for_shuffle(pairs.map_batches(add_bucket,
+                                              batch_format="pandas"))
+    partials = withb.groupby("_bucket").map_groups(per_bucket,
+                                                   batch_format="pandas")
+    agg = hash_aggregate(partials, id_col, {
+        "n_grams": ("n_grams", "sum"), "n_dup": ("n_dup", "sum")},
+        num_buckets=num_buckets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["dup_frac"] = (df["n_dup"].to_numpy(dtype=np.float64)
+                          / df["n_grams"].to_numpy(dtype=np.float64))
+        return df[[id_col, "n_grams", "n_dup", "dup_frac"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")

@@ -1100,3 +1100,26 @@ def test_shuffle_shards_is_permutation(ray_session):
     # the permutation actually breaks doc_id order within shards
     g0 = out[out.shard == out.shard.iloc[0]].sort_values("ord")
     assert not g0.doc_id.is_monotonic_increasing
+
+
+def test_duplicate_span_stats(ray_session):
+    from raster_processor_ray.stages.webtext import duplicate_span_stats
+
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["a b c d",        # grams: abc, bcd
+                 "a b c x",        # grams: abc(shared), bcx
+                 "q r"],           # < 3 tokens: no grams, no row
+    })
+    out = (duplicate_span_stats(ray.data.from_pandas(docs).repartition(3),
+                                ngram=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.doc_id) == [0, 1]
+    assert list(out.n_grams) == [2, 2]
+    assert list(out.n_dup) == [1, 1]          # only 'a b c' is shared
+    np.testing.assert_allclose(out.dup_frac, [0.5, 0.5])
+    # a gram repeated WITHIN one doc only does not count as duplicated
+    docs2 = pd.DataFrame({"doc_id": np.array([7], dtype=np.int64),
+                          "text": ["a b c a b c a b"]})
+    out2 = duplicate_span_stats(ray.data.from_pandas(docs2)).to_pandas()
+    assert int(out2.n_dup.iloc[0]) == 0
