@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "quality_filtered_counts", "repetition_stats", "decontam_overlap",
     "url_domains", "bpe_top_pieces", "pii_scrub", "para_dedup",
     "bm25_search", "lm_perplexity", "pack_sequences",
-    "mixture_sample", "shuffle_shards", "dup_spans",
+    "mixture_sample", "shuffle_shards", "dup_spans", "extract_roundtrip",
 ]
 
 

@@ -2937,6 +2937,52 @@ GROUP BY 1
 """
 
 
+def q_extract_roundtrip(sf_dir: str):
+    """HTML -> text extraction byte-identity (stages/extract.py): each
+    document's text is rendered into a full HTML page (entity-escaped,
+    with head/style/script/comment chrome), the REAL extraction kernel
+    strips it back out, and the result is compared byte-for-byte
+    against the original text. Returns per-lang (n_docs, n_exact); the
+    oracle encodes the invariant n_exact == n_docs — any extraction
+    regression breaks the hash match. All RE2 column kernels, zero
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    from ..stages.extract import extract_text_batch, render_html_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def check(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b["text"], "")
+        got = extract_text_batch(render_html_batch(txt).cast(pa.binary()))
+        exact = pc.equal(got, txt)
+        return pa.table({"lang": b["lang"],
+                         "exact": exact.combine_chunks()
+                         if isinstance(exact, pa.ChunkedArray) else exact})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False)["exact"]
+        out = g.agg(n_docs="size", n_exact="sum").reset_index()
+        out["n_docs"] = out.n_docs.astype(np.int64)
+        out["n_exact"] = out.n_exact.astype(np.int64)
+        return out
+
+    # per-batch partial counts -> one tiny lang groupby (|langs| rows)
+    from ..aggregate.relational import hash_aggregate
+
+    part = docs.map_batches(check, batch_format="pyarrow").map_batches(
+        combine, batch_format="pandas")
+    return hash_aggregate(part, ["lang"],
+                          {"n_docs": ("n_docs", "sum"),
+                           "n_exact": ("n_exact", "sum")})
+
+
+SQL_EXTRACT_ROUNDTRIP = """
+SELECT lang, count(*) AS n_docs, count(*) AS n_exact
+FROM documents GROUP BY lang
+"""
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -3109,6 +3155,7 @@ def queries() -> dict:
         "mixture_sample": q_mixture_sample,
         "shuffle_shards": q_shuffle_shards,
         "dup_spans": q_dup_spans,
+        "extract_roundtrip": q_extract_roundtrip,
     }
 
 
@@ -3196,4 +3243,5 @@ def oracle_sql() -> dict:
         "mixture_sample": _sql_mixture(),
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "dup_spans": SQL_DUP_SPANS,
+        "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     }

@@ -38,8 +38,18 @@ def _row_hashes(start: int, stop: int) -> np.ndarray:
 
 
 def make_pages_batch(start: int, stop: int, *, skew_frac: float = 0.05,
-                     with_html: bool = True) -> pa.Table:
-    """Generate rows [start, stop) of the pages table as an Arrow table."""
+                     with_html: bool = True,
+                     html_mode: str = "bytes") -> pa.Table:
+    """Generate rows [start, stop) of the pages table as an Arrow table.
+
+    ``html_mode``:
+    - ``"bytes"`` (default): opaque seeded payload bytes with empty /
+      multi-KiB outliers (cheap; what the benches cache on disk);
+    - ``"structured"``: real HTML rendered around the escaped ``text``
+      (stages/extract.render_html_batch), so
+      ``extract_text_batch(html) == text`` byte-for-byte — the
+      end-to-end form of the extracted-text invariant.
+    """
     n = stop - start
     idx = np.arange(start, stop, dtype=np.int64)
     h = _row_hashes(start, stop)
@@ -70,14 +80,19 @@ def make_pages_batch(start: int, stop: int, *, skew_frac: float = 0.05,
         "lang": pa.array(lang.tolist(), type=pa.string()),
     }
     if with_html:
-        # html: seeded bytes, log-normal-ish length via hash; includes empty
-        # and multi-KiB outliers (FIXTURES.md F1) — kept small enough for CI
-        hl = (h >> np.uint64(20)) % np.uint64(512)
-        hl = np.where(hl % np.uint64(97) == 0, np.uint64(0), hl)          # empties
-        hl = np.where(hl % np.uint64(101) == 0, hl * np.uint64(64), hl)   # outliers
-        payload = (h & np.uint64(0xFF)).astype(np.uint8)
-        html = [bytes([int(payload[k])]) * int(hl[k]) for k in range(n)]
-        cols["html"] = pa.array(html, type=pa.binary())
+        if html_mode == "structured":
+            from ..stages.extract import render_html_batch
+
+            cols["html"] = render_html_batch(text_arr).cast(pa.binary())
+        else:
+            # html: seeded bytes, log-normal-ish length via hash; includes
+            # empty and multi-KiB outliers (FIXTURES.md F1) — CI-sized
+            hl = (h >> np.uint64(20)) % np.uint64(512)
+            hl = np.where(hl % np.uint64(97) == 0, np.uint64(0), hl)          # empties
+            hl = np.where(hl % np.uint64(101) == 0, hl * np.uint64(64), hl)   # outliers
+            payload = (h & np.uint64(0xFF)).astype(np.uint8)
+            html = [bytes([int(payload[k])]) * int(hl[k]) for k in range(n)]
+            cols["html"] = pa.array(html, type=pa.binary())
     order = ["url", "warc_ts", "html", "text", "lang"] if with_html else [
         "url", "warc_ts", "text", "lang"]
     return pa.table({k: cols[k] for k in order})
