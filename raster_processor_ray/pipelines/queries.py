@@ -2983,6 +2983,54 @@ FROM documents GROUP BY lang
 """
 
 
+def q_crawl_diff(sf_dir: str):
+    """Recrawl snapshot diff (stages/snapshot.py): snapshot A = docs with
+    doc_id %% 3 != 0, snapshot B = docs with doc_id %% 4 != 0 and text
+    amended (' v2') for doc_id %% 5 == 0 — then classify every key as
+    added / removed / changed. Content is FNV-fingerprinted map-side, so
+    the single exchange ships (key, side, fp) only; unchanged keys never
+    leave the compare task."""
+    from ..stages.snapshot import snapshot_diff
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snap_a(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        return b.filter(pa.array(ids % 3 != 0))
+
+    def snap_b(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        b = b.filter(pa.array(ids % 4 != 0))
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        txt = pc.fill_null(b["text"], "")
+        amended = pc.binary_join_element_wise(txt, " v2", "")
+        new_txt = pc.if_else(pa.array(ids % 5 == 0), amended, txt)
+        return b.set_column(b.schema.get_field_index("text"), "text", new_txt)
+
+    a = docs.map_batches(snap_a, batch_format="pyarrow")
+    b = docs.map_batches(snap_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, key="doc_id", compare_cols="text")
+
+
+SQL_CRAWL_DIFF = """
+WITH a AS (
+  SELECT doc_id, COALESCE(text, '') AS text
+  FROM documents WHERE doc_id % 3 <> 0
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' v2'
+              ELSE COALESCE(text, '') END AS text
+  FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+"""
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -3156,6 +3204,7 @@ def queries() -> dict:
         "shuffle_shards": q_shuffle_shards,
         "dup_spans": q_dup_spans,
         "extract_roundtrip": q_extract_roundtrip,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -3244,4 +3293,5 @@ def oracle_sql() -> dict:
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "dup_spans": SQL_DUP_SPANS,
         "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+        "crawl_diff": SQL_CRAWL_DIFF,
     }
