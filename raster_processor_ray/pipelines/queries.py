@@ -3031,6 +3031,21 @@ WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/semdedup.py): streamed k-means
+    -> one vectors-to-cluster exchange -> within-cluster blocked cosine
+    pruning, keep-farthest-from-centroid priority. Deterministic
+    (seeded init, id tie-breaks); rows-only driver check (k-means is
+    not SQL-expressible; the pruning kernel is golden-tested)."""
+    from ..stages.semdedup import semdedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                    override_num_blocks=8)
+    out = semdedup(ds, k=16, tau=0.6, iters=3)
+    return out.map_batches(lambda b: b.select(["vec_id"]),
+                           batch_format="pyarrow")
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -3205,6 +3220,7 @@ def queries() -> dict:
         "dup_spans": q_dup_spans,
         "extract_roundtrip": q_extract_roundtrip,
         "crawl_diff": q_crawl_diff,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

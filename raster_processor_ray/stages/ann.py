@@ -19,13 +19,18 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> arrow column -> (n, d) float64 matrix (zero-copy-ish)."""
+    """list<float> arrow column -> (n, d) float64 matrix (zero-copy-ish).
+
+    Uses ``flatten()``, NOT ``.values``: a sliced ListArray (or one whose
+    offsets start past 0) carries extra leading elements in ``.values``,
+    which misaligns — or crashes — the reshape (same offset rule as the
+    flagship zonal unpack, pipelines/flagship.py)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = np.asarray(col.values, dtype=np.float64)
-    offsets = np.asarray(col.offsets)
-    d = offsets[1] - offsets[0]
-    return flat.reshape(len(col), int(d))
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(col), -1)  # raises on ragged rows
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
