@@ -3041,7 +3041,7 @@ def q_semantic_dedup(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                     override_num_blocks=8)
-    out = semdedup(ds, k=16, tau=0.6, iters=3)
+    out = semdedup(ds, k=16, tau=0.45, iters=3)
     return out.map_batches(lambda b: b.select(["vec_id"]),
                            batch_format="pyarrow")
 

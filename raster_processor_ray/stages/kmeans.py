@@ -42,32 +42,32 @@ def _seed_centroids(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
     return np.stack(seeds[vec_col].to_numpy()).astype(np.float64)
 
 
-class _AssignPartial:
-    """One pass: nearest centroid per vector -> per-centroid partial
-    (sum vector, count) rows; optionally the per-row assignment."""
+def assign_nearest(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c); ties -> lowest id."""
+    sq = (cents * cents).sum(axis=1)
+    d = sq[None, :] - 2.0 * (m @ cents.T)
+    return d.argmin(axis=1).astype(np.int64)
 
-    def __init__(self, cents_ref, vec_col: str, id_col: str,
-                 emit_labels: bool):
+
+def _make_assign(cents_ref, vec_col: str, id_col: str, emit_labels: bool):
+    """STATELESS assignment pass over a broadcast centroid ref. A plain
+    task fn (not an actor pool): the only state is the ray.put centroids,
+    which ``ray.get`` resolves from the LOCAL object store per task
+    (zero-copy, never re-shipped), and tasks reuse warm worker processes
+    — an actor pool here would pay a fresh process spawn + numpy/pyarrow
+    import per pool per iteration for no state that needs keeping."""
+
+    def assign_partial(b: pa.Table) -> pa.Table:
         import ray
-        self.cents = np.asarray(ray.get(cents_ref), dtype=np.float64)
-        self.vec_col, self.id_col = vec_col, id_col
-        self.emit_labels = emit_labels
-        self.sq = (self.cents * self.cents).sum(axis=1)
-
-    def _assign(self, m: np.ndarray) -> np.ndarray:
-        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c); ties -> lowest id
-        d = self.sq[None, :] - 2.0 * (m @ self.cents.T)
-        return d.argmin(axis=1).astype(np.int64)
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        m = _as_matrix(b[self.vec_col]).astype(np.float64)
-        a = self._assign(m)
-        if self.emit_labels:
+        cents = np.asarray(ray.get(cents_ref), dtype=np.float64)
+        m = _as_matrix(b[vec_col]).astype(np.float64)
+        a = assign_nearest(m, cents)
+        if emit_labels:
             return pa.table({
-                self.id_col: b[self.id_col],
+                id_col: b[id_col],
                 "cluster": pa.array(a),
             })
-        k, dim = self.cents.shape
+        k, dim = cents.shape
         onehot_sums = np.zeros((k, dim), dtype=np.float64)
         np.add.at(onehot_sums, a, m)
         counts = np.bincount(a, minlength=k).astype(np.int64)
@@ -76,6 +76,8 @@ class _AssignPartial:
             "vsum": pa.array(list(onehot_sums)),
             "n": pa.array(counts),
         })
+
+    return assign_partial
 
 
 def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
@@ -89,9 +91,8 @@ def kmeans_fit(ds, k: int, *, iters: int = 5, vec_col: str = "embedding",
     for _ in range(iters):
         ref = ray.put(cents)
         partials = ds.map_batches(
-            _AssignPartial, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=4, num_cpus=0.5,
-            fn_constructor_args=(ref, vec_col, id_col, False)).to_pandas()
+            _make_assign(ref, vec_col, id_col, False),
+            batch_format="pyarrow", batch_size=batch_size).to_pandas()
         g = partials.groupby("cluster", sort=True)
         counts = g.n.sum().reindex(range(k), fill_value=0).to_numpy()
         sums = np.zeros_like(cents)
@@ -109,6 +110,5 @@ def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
 
     ref = ray.put(np.asarray(centroids, dtype=np.float64))
     return ds.map_batches(
-        _AssignPartial, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=4, num_cpus=0.5,
-        fn_constructor_args=(ref, vec_col, id_col, True))
+        _make_assign(ref, vec_col, id_col, True),
+        batch_format="pyarrow", batch_size=batch_size)

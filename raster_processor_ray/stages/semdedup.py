@@ -63,36 +63,31 @@ def semdedup(ds, *, k: int = 64, tau: float = 0.9, iters: int = 5,
     """-> Dataset of (id_col, cluster) — the surviving (kept) rows."""
     import ray
 
-    from .kmeans import kmeans_fit
+    from .kmeans import assign_nearest, kmeans_fit
 
     cents, _ = kmeans_fit(ds, k, iters=iters, vec_col=vec_col,
                           id_col=id_col, batch_size=batch_size)
     cents_n = _normalize(cents.astype(np.float64))
     cents_ref = ray.put(cents_n)
 
-    class LabelWithVec:
+    def label_with_vec(b: pa.Table) -> pa.Table:
         """Assignment pass that keeps the (normalized) vector alongside
-        the label — the groupby ships each vector to its cluster once."""
+        the label — the groupby ships each vector to its cluster once.
+        Stateless task fn over the broadcast centroid ref (local
+        object-store read per task; see kmeans._make_assign)."""
+        c = np.asarray(ray.get(cents_ref), dtype=np.float64)
+        m = _normalize(_as_matrix(b[vec_col]).astype(np.float64))
+        a = assign_nearest(m, c)
+        csim = np.einsum("ij,ij->i", m, c[a])
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(a),
+            "_csim": pa.array(csim),
+            "_nvec": pa.array(list(m.astype(np.float32))),
+        })
 
-        def __init__(self):
-            self.c = np.asarray(ray.get(cents_ref), dtype=np.float64)
-            self.sq = (self.c * self.c).sum(axis=1)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(b[vec_col]).astype(np.float64))
-            d = self.sq[None, :] - 2.0 * (m @ self.c.T)
-            a = d.argmin(axis=1).astype(np.int64)
-            csim = np.einsum("ij,ij->i", m, self.c[a])
-            return pa.table({
-                id_col: b[id_col],
-                "cluster": pa.array(a),
-                "_csim": pa.array(csim),
-                "_nvec": pa.array(list(m.astype(np.float32))),
-            })
-
-    labeled = ds.map_batches(LabelWithVec, batch_format="pyarrow",
-                             batch_size=batch_size, concurrency=4,
-                             num_cpus=0.5)
+    labeled = ds.map_batches(label_with_vec, batch_format="pyarrow",
+                             batch_size=batch_size)
 
     asc = keep == "far"  # low centroid-similarity first -> kept first
 
