@@ -3046,6 +3046,24 @@ def q_semantic_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (stages/dsir.py): hashed-bigram
+    target/raw log-likelihood ratio, deterministic Gumbel top-k.
+    Target distribution = the corpus's English docs; selects 100 docs
+    from the full table. Rows-only driver check (hashed features +
+    Gumbel keys are not SQL-expressible; scores are numpy-oracle
+    golden-tested in tests/test_dsir.py)."""
+    from ..stages.dsir import dsir_select
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"],
+                      override_num_blocks=8)
+    target = docs.filter(expr="lang == 'en'")
+    out = dsir_select(docs, target, 100, temperature=0.5, seed=41)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "logw"]), batch_format="pyarrow")
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -3221,6 +3239,7 @@ def queries() -> dict:
         "extract_roundtrip": q_extract_roundtrip,
         "crawl_diff": q_crawl_diff,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
     }
 
 
