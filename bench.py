@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "url_domains", "bpe_top_pieces", "pii_scrub", "para_dedup",
     "bm25_search", "lm_perplexity", "pack_sequences",
     "mixture_sample", "shuffle_shards", "dup_spans", "extract_roundtrip",
-    "crawl_diff", "semantic_dedup", "dsir_select",
+    "crawl_diff", "semantic_dedup", "dsir_select", "approx_quantiles",
 ]
 
 

@@ -3046,6 +3046,21 @@ def q_semantic_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_approx_quantiles(sf_dir: str):
+    """KLL-sketch approximate median + p90 per event_type
+    (aggregate/kll.py): one bounded exchange of O(k log n) blobs —
+    the scale path next to the exact value_quantiles. Rows-only driver
+    check (estimates are partitioning-dependent within the rank-error
+    bound; the bound itself is pinned in tests/test_kll.py)."""
+    from ..aggregate.kll import kll_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = kll_quantiles(ds, "event_type", "value", [0.5, 0.9], k=256)
+    return out.map_batches(
+        lambda df: df.sort_values("event_type").reset_index(drop=True),
+        batch_format="pandas")
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR importance resampling (stages/dsir.py): hashed-bigram
     target/raw log-likelihood ratio, deterministic Gumbel top-k.
@@ -3240,6 +3255,7 @@ def queries() -> dict:
         "crawl_diff": q_crawl_diff,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "approx_quantiles": q_approx_quantiles,
     }
 
 
