@@ -1401,6 +1401,35 @@ def q_minhash_dedup(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def q_canonical_docs(sf_dir: str):
+    """Dedup loop ending in QUALITY-canonical survivors: MinHash-LSH ->
+    exact Jaccard verify -> connected components -> keep the
+    HIGHEST-QUALITY doc per duplicate cluster (tie: min doc_id) instead
+    of min-id-wins — the curation policy real pipelines want (drop the
+    boilerplate copy, keep the cleanest). Composition of existing
+    oracle-/golden-checked stages; rows-only driver check (MinHash is
+    not SQL-expressible)."""
+    from ..aggregate.relational import grouped_topk
+    from ..stages.cc import attach_components, connected_components
+    from ..stages.dedup import minhash_near_dup_verified
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dup_verified(docs, num_perm=64, num_bands=16,
+                                      threshold=0.6)
+    labels = connected_components(pairs, u_col="id_a", v_col="id_b")
+    scored = docs.map_batches(QualityScore, batch_format="pandas",
+                              concurrency=2, num_cpus=0.5)
+    labeled = attach_components(
+        scored.map_batches(lambda df: df[["doc_id", "quality"]],
+                           batch_format="pandas"),
+        labels, id_col="doc_id")
+    best = grouped_topk(labeled, "comp", "quality", 1,
+                        descending=True, tie_col="doc_id")
+    return best.map_batches(
+        lambda df: df[["doc_id"]].sort_values("doc_id")
+        .reset_index(drop=True), batch_format="pandas")
+
+
 def q_simhash_fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
@@ -3256,6 +3285,7 @@ def queries() -> dict:
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "approx_quantiles": q_approx_quantiles,
+        "canonical_docs": q_canonical_docs,
     }
 
 
