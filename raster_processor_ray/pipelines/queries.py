@@ -3112,6 +3112,30 @@ MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
 
+def q_group_split(sf_dir: str):
+    """Leakage-safe train/val/test split (stages/mixture.py
+    group_split): every doc of a source lands in the same split via an
+    md5-derived percentile key — stateless map, exact SQL oracle (md5
+    is reproducible on both sides)."""
+    from ..stages.mixture import group_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return group_split(docs, "source").map_batches(
+        lambda df: df[["doc_id", "source", "split"]],
+        batch_format="pandas")
+
+
+SQL_GROUP_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN h < 80 THEN 'train'
+            WHEN h < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS h
+      FROM documents)
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Training-mixture down-sampling (stages/mixture.py): per-lang
     keep-rates applied with the deterministic int64 sampling key — a
@@ -3278,6 +3302,7 @@ def queries() -> dict:
         "lm_perplexity": q_lm_perplexity,
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
+        "group_split": q_group_split,
         "shuffle_shards": q_shuffle_shards,
         "dup_spans": q_dup_spans,
         "extract_roundtrip": q_extract_roundtrip,
@@ -3371,6 +3396,7 @@ def oracle_sql() -> dict:
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "mixture_sample": _sql_mixture(),
+        "group_split": SQL_GROUP_SPLIT,
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "dup_spans": SQL_DUP_SPANS,
         "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,

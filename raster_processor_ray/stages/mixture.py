@@ -79,3 +79,38 @@ def shuffle_shards(ds, num_shards: int, *, id_col: str = "doc_id",
 
     withs = pin_for_shuffle(ds.map_batches(assign, batch_format="pandas"))
     return withs.groupby("shard").map_groups(order, batch_format="pandas")
+
+
+def group_split(ds, group_col: str, *, bounds: tuple[int, ...] = (80, 95),
+                names: tuple[str, ...] = ("train", "val", "test"),
+                out_col: str = "split"):
+    """Leakage-safe train/val/test assignment: EVERY row of a group
+    (domain, source, author...) lands in the same split, so near-dup
+    pages from one site can never straddle the train/eval boundary.
+
+    The split key is ``int(md5(group)[:8hex]) % 100`` against ``bounds``
+    percentile cut points — md5 so the exact assignment is reproducible
+    in ANSI SQL (``('0x' || substr(md5(g),1,8))::BIGINT % 100``) and any
+    other stack, not just this engine. md5 runs once per UNIQUE group
+    value per batch (factorize -> hash uniques -> gather), not per row,
+    so high-cardinality keys cost O(uniques) Python-side.
+
+    Stateless map: no shuffle, no RNG, stable at any partitioning."""
+    import hashlib
+
+    assert len(names) == len(bounds) + 1
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        kidx, uk = pd.factorize(df[group_col])
+        uh = np.asarray(
+            [int(hashlib.md5(str(g).encode()).hexdigest()[:8], 16) % 100
+             for g in uk], dtype=np.int64)
+        h = uh[kidx]
+        lab = np.full(len(df), names[-1], dtype=object)
+        for b, nm in zip(reversed(bounds), reversed(names[:-1])):
+            lab[h < b] = nm
+        out[out_col] = lab
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")

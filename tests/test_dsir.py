@@ -85,3 +85,23 @@ def test_gumbel_deterministic_and_seed_sensitive():
     assert (a == b).all()
     assert (a != c).any()
     assert np.isfinite(a).all()
+
+
+def test_group_split_leakage_safe(ray_session):
+    """All rows of a group share a split; proportions near 80/15/5."""
+    import pandas as pd
+    from raster_processor_ray.stages.mixture import group_split
+
+    n = 5000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "g": pa.array([f"dom{i % 997}.com" for i in range(n)])})
+    out = group_split(rd.from_arrow(t).repartition(6), "g").to_pandas()
+    per_group = out.groupby("g").split.nunique()
+    assert (per_group == 1).all(), "group straddles splits"
+    frac = out.split.value_counts(normalize=True)
+    assert 0.70 < frac["train"] < 0.90
+    assert 0.08 < frac["val"] < 0.22
+    # deterministic across partitionings
+    out2 = group_split(rd.from_arrow(t).repartition(13), "g").to_pandas()
+    m = out.merge(out2, on="doc_id", suffixes=("", "_b"))
+    assert (m.split == m.split_b).all()
