@@ -3203,6 +3203,68 @@ def _sql_bm25():
     return bm25_sql(BM25_TERMS, 20)
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-20 + exact-cosine semantic
+    top-21 (query = the embedding of vec_id 0, self included) fused by
+    reciprocal-rank fusion, rrf = sum 1/(60 + rank) over the branches
+    (public algorithm: Cormack et al. 2009). Both branches are the
+    engine's streaming operators; the fusion itself runs driver-side on
+    the two top-k frames — bounded by k, never the corpus. Exact SQL
+    oracle (DuckDB list_cosine_similarity + the bm25 oracle as a
+    subquery); rrf is a fixed-order two-term float64 sum on both sides."""
+    from ..stages.ann import cosine_topk
+    from .bm25 import bm25_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qv = np.stack(emb.filter(expr="vec_id == 0")
+                  .to_pandas().embedding.to_numpy()).astype(np.float64)
+    lex = bm25_topk(docs, BM25_TERMS, 20).to_pandas()
+    sem = cosine_topk(emb, qv, k=21).to_pandas()
+
+    lex = lex.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    lex["r_lex"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+    sem = sem.rename(columns={"vec_id": "doc_id"})[["doc_id", "rank"]]
+    fused = lex[["doc_id", "r_lex"]].merge(
+        sem.rename(columns={"rank": "r_sem"}), on="doc_id", how="outer")
+    lex_term = np.where(fused.r_lex.notna(),
+                        1.0 / (60.0 + fused.r_lex.fillna(0)), 0.0)
+    sem_term = np.where(fused.r_sem.notna(),
+                        1.0 / (60.0 + fused.r_sem.fillna(0)), 0.0)
+    fused["rrf"] = np.round(lex_term + sem_term, 9)
+    out = fused.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(10)
+    return out[["doc_id", "rrf"]].reset_index(drop=True)
+
+
+def _sql_hybrid():
+    from .bm25 import bm25_sql
+
+    lex_sub = bm25_sql(BM25_TERMS, 20).strip()
+    return f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({lex_sub})
+), sem AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(
+             embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+           DESC, vec_id) AS r
+  FROM embeddings
+  QUALIFY r <= 21
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       round(COALESCE(1.0 / (60 + l.r), 0.0)
+             + COALESCE(1.0 / (60 + s.r), 0.0), 9) AS rrf
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -3303,6 +3365,7 @@ def queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "group_split": q_group_split,
+        "hybrid_search": q_hybrid_search,
         "shuffle_shards": q_shuffle_shards,
         "dup_spans": q_dup_spans,
         "extract_roundtrip": q_extract_roundtrip,
@@ -3397,6 +3460,7 @@ def oracle_sql() -> dict:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "mixture_sample": _sql_mixture(),
         "group_split": SQL_GROUP_SPLIT,
+        "hybrid_search": _sql_hybrid(),
         "shuffle_shards": SQL_SHUFFLE_SHARDS,
         "dup_spans": SQL_DUP_SPANS,
         "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
