@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "bm25_search", "lm_perplexity", "pack_sequences",
     "mixture_sample", "shuffle_shards", "dup_spans", "extract_roundtrip",
     "crawl_diff", "semantic_dedup", "dsir_select", "approx_quantiles",
-    "canonical_docs", "group_split", "hybrid_search",
+    "canonical_docs", "group_split", "hybrid_search", "corpus_upsert",
 ]
 
 

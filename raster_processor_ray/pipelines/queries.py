@@ -3108,6 +3108,51 @@ def q_dsir_select(sf_dir: str):
         lambda b: b.select(["doc_id", "logw"]), batch_format="pyarrow")
 
 
+def q_corpus_upsert(sf_dir: str):
+    """Incremental corpus maintenance (state/upsert.py): persist the
+    documents table as a sharded resumable corpus, apply a deterministic
+    changeset (deletes: doc_id % 97 == 0; replacements: doc_id % 101 ==
+    0; inserts: three new ids), rewriting ONLY affected shards; returns
+    the maintained corpus. Rows-only driver check (side-effecting
+    pipeline; merge semantics + untouched-shard guarantee are pinned in
+    tests/test_upsert.py)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from ..state.lineage import read_resumable, write_resumable
+    from ..state.upsert import apply_changeset
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    corpus = f"/tmp/graft_q/corpus_upsert_{tag}"
+    _sh.rmtree(corpus, ignore_errors=True)
+    write_resumable(docs, corpus, key_col="doc_id", num_shards=8,
+                    input_fingerprint=f"docs:{tag}")
+
+    def mk_changes(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        dele = ids[ids % 97 == 0]
+        repl = ids[(ids % 101 == 0) & (ids % 97 != 0)]
+        out_ids = np.concatenate([dele, repl])
+        ops = np.array(["delete"] * len(dele) + ["upsert"] * len(repl))
+        n_chars = np.concatenate([np.zeros(len(dele), dtype=np.int64),
+                                  np.full(len(repl), -1, dtype=np.int64)])
+        return pa.table({"doc_id": pa.array(out_ids),
+                         "n_chars": pa.array(n_chars),
+                         "op": pa.array(ops)})
+
+    changes = docs.map_batches(mk_changes, batch_format="pyarrow")
+    inserts = pa.table({
+        "doc_id": pa.array([10_000_001, 10_000_002, 10_000_003],
+                           pa.int64()),
+        "n_chars": pa.array([1, 2, 3], pa.int64()),
+        "op": pa.array(["upsert"] * 3)})
+    import ray.data as _rd
+    apply_changeset(corpus, changes.union(_rd.from_arrow(inserts)),
+                    key_col="doc_id")
+    return read_resumable(corpus)
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -3366,6 +3411,7 @@ def queries() -> dict:
         "mixture_sample": q_mixture_sample,
         "group_split": q_group_split,
         "hybrid_search": q_hybrid_search,
+        "corpus_upsert": q_corpus_upsert,
         "shuffle_shards": q_shuffle_shards,
         "dup_spans": q_dup_spans,
         "extract_roundtrip": q_extract_roundtrip,
