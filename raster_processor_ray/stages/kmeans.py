@@ -38,6 +38,8 @@ def _seed_centroids(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
     from ..aggregate.relational import topk
 
     seeds = topk(ds, id_col, k, descending=False).to_pandas()
+    if seeds.empty:
+        raise ValueError("kmeans_fit: input dataset has no rows")
     seeds = seeds.sort_values(id_col).head(k)
     return np.stack(seeds[vec_col].to_numpy()).astype(np.float64)
 

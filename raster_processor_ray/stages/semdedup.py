@@ -65,8 +65,14 @@ def semdedup(ds, *, k: int = 64, tau: float = 0.9, iters: int = 5,
 
     from .kmeans import assign_nearest, kmeans_fit
 
-    cents, _ = kmeans_fit(ds, k, iters=iters, vec_col=vec_col,
-                          id_col=id_col, batch_size=batch_size)
+    try:
+        cents, _ = kmeans_fit(ds, k, iters=iters, vec_col=vec_col,
+                              id_col=id_col, batch_size=batch_size)
+    except ValueError:  # empty corpus -> empty survivor set, same schema
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64())}))
     cents_n = _normalize(cents.astype(np.float64))
     cents_ref = ray.put(cents_n)
 

@@ -81,3 +81,22 @@ def test_as_matrix_sliced_listarray():
     ch = pa.chunked_array([a.slice(0, 1), a.slice(2, 2)])
     assert _as_matrix(ch).tolist() == [[1.0, 2.0], [5.0, 6.0], [7.0, 8.0]]
     assert _as_matrix(a.slice(0, 0)).shape == (0, 0)
+
+
+def test_semdedup_empty_input(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out = semdedup(empty, k=4, iters=2)
+    assert out.count() == 0
+    assert out.schema().names == ["vec_id", "cluster"]
+
+
+def test_kmeans_empty_raises(ray_session):
+    import pytest
+    from raster_processor_ray.stages.kmeans import kmeans_fit
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    with pytest.raises(ValueError, match="no rows"):
+        kmeans_fit(empty, 4)
