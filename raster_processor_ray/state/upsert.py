@@ -94,3 +94,23 @@ def apply_changeset(corpus_dir: str, changes_ds, *, key_col: str,
         "input_fingerprint": f"chg:{digest.hexdigest()[:16]}",
     })
     return out
+
+
+def reshard_corpus(src_dir: str, dst_dir: str, num_shards: int,
+                   *, sort_cols: list[str] | None = None) -> pd.DataFrame:
+    """Compaction / re-sharding: rewrite a resumable corpus at a
+    different shard count (merge small shards after heavy deletes, or
+    split hot ones). One streamed read -> one bounded exchange (the
+    standard resumable write); the source is untouched, the destination
+    carries the source's fingerprint tagged with the new layout so
+    provenance chains across compactions."""
+    from .lineage import read_resumable, write_resumable
+
+    run = read_run_manifest(src_dir)
+    if run is None or not run.get("complete"):
+        raise ValueError(f"{src_dir}: not a complete resumable corpus")
+    key_col = run["key_col"]
+    fp = f"reshard({run.get('input_fingerprint')})->{num_shards}"
+    return write_resumable(read_resumable(src_dir), dst_dir,
+                           key_col=key_col, num_shards=num_shards,
+                           sort_cols=sort_cols, input_fingerprint=fp)

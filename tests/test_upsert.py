@@ -79,3 +79,17 @@ def test_changeset_guards(tmp_path, ray_session):
     with pytest.raises(ValueError, match="not a complete"):
         apply_changeset(str(tmp_path / "nope"), rd.from_pandas(dup),
                         key_col="doc_id")
+
+
+def test_reshard_corpus(tmp_path, ray_session):
+    from raster_processor_ray.state.upsert import reshard_corpus
+    corpus, df = _build_corpus(tmp_path, n=500, shards=16)
+    dst = str(tmp_path / "compact")
+    man = reshard_corpus(corpus, dst, 4)
+    assert len(man) == 4 and man.rows.sum() == 500
+    got = read_resumable(dst).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  df.reset_index(drop=True))
+    # source untouched, destination provenance chains
+    assert read_run_manifest(corpus)["input_fingerprint"] == "orig"
+    assert read_run_manifest(dst)["input_fingerprint"].startswith("reshard(")
