@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "mixture_sample", "shuffle_shards", "dup_spans", "extract_roundtrip",
     "crawl_diff", "semantic_dedup", "dsir_select", "approx_quantiles",
     "canonical_docs", "group_split", "hybrid_search", "corpus_upsert",
+    "pagerank", "triangle_stats", "link_degrees",
 ]
 
 

@@ -3310,6 +3310,95 @@ LIMIT 10
 """
 
 
+# --- link-graph analytics (stages/graph.py) -------------------------------
+
+_N_DOCS_SQL = "SELECT count(*) FROM documents"
+
+
+def _graph_docs(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs, docs.count()
+
+
+def q_link_degrees(sf_dir: str):
+    """In-degree histogram of the synthetic link graph (zero bin closed
+    arithmetically — bounded by max degree, not node count)."""
+    from ..stages.graph import in_degree_hist
+    docs, n = _graph_docs(sf_dir)
+    return in_degree_hist(docs, n)
+
+
+def q_pagerank(sf_dir: str):
+    """5-iteration PageRank, damping 0.85, over the synthetic link graph;
+    full (node, pr) result, pr rounded to 9 decimals in both engines."""
+    from ..stages.graph import pagerank
+    docs, n = _graph_docs(sf_dir)
+    return pagerank(docs, n, iters=5, damping=0.85)
+
+
+def q_triangle_stats(sf_dir: str):
+    """Global (n_edges, n_wedges, n_triangles) by min-centered wedge join."""
+    from ..stages.graph import triangle_stats
+    docs, n = _graph_docs(sf_dir)
+    return triangle_stats(docs, n)
+
+
+def _graph_edges_cte() -> str:
+    from ..stages.graph import edges_sql
+    return edges_sql(_N_DOCS_SQL)
+
+
+def _sql_link_degrees() -> str:
+    return f"""
+WITH edges AS ({_graph_edges_cte()}),
+deg AS (
+  SELECT n.doc_id, count(e.src) AS in_deg
+  FROM documents n LEFT JOIN edges e ON e.dst = n.doc_id
+  GROUP BY n.doc_id)
+SELECT in_deg, count(*) AS n_nodes FROM deg GROUP BY in_deg
+"""
+
+
+def _sql_pagerank(iters: int = 5) -> str:
+    # damping literals carry explicit ::DOUBLE casts: DuckDB would parse
+    # bare 0.85 as DECIMAL and 1-0.85 as exact decimal arithmetic,
+    # diverging from the engine's float64 (1.0 - 0.85) in the last bits.
+    d = "CAST(0.85 AS DOUBLE)"
+    parts = [
+        f"WITH edges AS ({_graph_edges_cte()}),",
+        "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),",
+        "ew AS (SELECT e.src, e.dst, 1.0 / o.od AS w"
+        " FROM edges e JOIN odeg o ON o.src = e.src),",
+        f"nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),",
+        "r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS pr"
+        " FROM documents),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT dd.doc_id AS node,"
+            f" (1.0 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * coalesce(s.m, CAST(0 AS DOUBLE)) AS pr"
+            f" FROM documents dd LEFT JOIN ("
+            f"SELECT ew.dst AS node, sum(r.pr * ew.w) AS m"
+            f" FROM ew JOIN r{k-1} r ON r.node = ew.src GROUP BY ew.dst"
+            f") s ON s.node = dd.doc_id),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, round(pr, 9) AS pr FROM r{iters}")
+    return "\n".join(parts)
+
+
+def _sql_triangle_stats() -> str:
+    return f"""
+WITH edges AS ({_graph_edges_cte()}),
+u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+w AS (SELECT e1.b AS a, e2.b AS b FROM u e1 JOIN u e2
+      ON e1.a = e2.a AND e1.b < e2.b)
+SELECT (SELECT count(*) FROM u) AS n_edges,
+       (SELECT count(*) FROM w) AS n_wedges,
+       (SELECT count(*) FROM w JOIN u ON u.a = w.a AND u.b = w.b) AS n_triangles
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -3420,6 +3509,9 @@ def queries() -> dict:
         "dsir_select": q_dsir_select,
         "approx_quantiles": q_approx_quantiles,
         "canonical_docs": q_canonical_docs,
+        "link_degrees": q_link_degrees,
+        "pagerank": q_pagerank,
+        "triangle_stats": q_triangle_stats,
     }
 
 
@@ -3511,4 +3603,7 @@ def oracle_sql() -> dict:
         "dup_spans": SQL_DUP_SPANS,
         "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
         "crawl_diff": SQL_CRAWL_DIFF,
+        "link_degrees": _sql_link_degrees(),
+        "pagerank": _sql_pagerank(),
+        "triangle_stats": _sql_triangle_stats(),
     }
