@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "crawl_diff", "semantic_dedup", "dsir_select", "approx_quantiles",
     "canonical_docs", "group_split", "hybrid_search", "corpus_upsert",
     "pagerank", "triangle_stats", "link_degrees",
+    "interval_coverage", "funnel_counts", "cohort_retention",
 ]
 
 

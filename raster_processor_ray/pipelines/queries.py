@@ -3399,6 +3399,90 @@ SELECT (SELECT count(*) FROM u) AS n_edges,
 """
 
 
+# --- temporal / behavioral analytics (stages/temporal.py) ------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user union length of variable-length event intervals
+    [ts, ts + value seconds) — sweep-line islands, exact int64 us."""
+    from ..stages.temporal import interval_coverage
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return interval_coverage(ds, "user_id", "ts", "value")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered funnel signup -> view -> click -> purchase with strictly
+    increasing timestamps; n_users reaching each step."""
+    from ..stages.temporal import funnel_counts
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention (cohort_week, week_offset, n_users)."""
+    from ..stages.temporal import cohort_retention
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+  FROM events),
+m AS (SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv),
+g AS (SELECT user_id, s, e,
+        CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM m),
+i AS (SELECT user_id, s, e,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island FROM g),
+isl AS (SELECT user_id, island, max(e) - min(s) AS cov
+        FROM i GROUP BY user_id, island)
+SELECT user_id, CAST(sum(cov) AS BIGINT) AS covered_us,
+       count(*) AS n_islands
+FROM isl GROUP BY user_id
+"""
+
+
+def _sql_funnel() -> str:
+    ctes, prev = [], None
+    for idx, st in enumerate(_FUNNEL_STEPS, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{idx} AS (SELECT user_id, min(ts) AS t FROM events"
+                f" WHERE event_type = '{st}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{idx} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+                f" JOIN s{idx-1} p ON p.user_id = e.user_id"
+                f" WHERE e.event_type = '{st}' AND e.ts > p.t"
+                f" GROUP BY e.user_id)")
+        prev = st
+    selects = [
+        f"SELECT {i} AS step, '{st}' AS event_type,"
+        f" (SELECT count(*) FROM s{i}) AS n_users"
+        for i, st in enumerate(_FUNNEL_STEPS, start=1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+             AS cw FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+        AS w FROM events)
+SELECT f.cw AS cohort_week,
+       (epoch_us(a.w) - epoch_us(f.cw)) // 604800000000 AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict:
     return {
         "tile_count_mean": q_tile_count_mean,
@@ -3512,6 +3596,9 @@ def queries() -> dict:
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "triangle_stats": q_triangle_stats,
+        "interval_coverage": q_interval_coverage,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3606,4 +3693,7 @@ def oracle_sql() -> dict:
         "link_degrees": _sql_link_degrees(),
         "pagerank": _sql_pagerank(),
         "triangle_stats": _sql_triangle_stats(),
+        "interval_coverage": SQL_INTERVAL_COVERAGE,
+        "funnel_counts": _sql_funnel(),
+        "cohort_retention": SQL_COHORT_RETENTION,
     }
