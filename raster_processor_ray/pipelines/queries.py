@@ -3399,6 +3399,59 @@ SELECT (SELECT count(*) FROM u) AS n_edges,
 """
 
 
+# --- neighborhood raster ops (aggregate/focal.py) --------------------------
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile pyramid: level-0 cells at 1 deg, levels 1-4 fold
+    by index halving; (level, cy, cx, n, sum_chars)."""
+    from ..aggregate.focal import tile_pyramid
+    ds = _docs_with_geo(sf_dir)
+    out = tile_pyramid(ds, "lat", "lon", "n_chars", levels=5)
+    return out.map_batches(
+        lambda b: b.rename_columns(["level", "cy", "cx", "n", "sum_chars"]),
+        batch_format="pyarrow")
+
+
+def q_focal_mean(sf_dir: str):
+    """3x3 focal mean of per-cell doc counts over cells with data."""
+    from ..aggregate.focal import focal_mean
+    ds = _docs_with_geo(sf_dir)
+    return focal_mean(ds, "lat", "lon", "n_chars")
+
+
+def _sql_tile_pyramid(levels: int = 5) -> str:
+    head = f"""
+WITH d AS (SELECT {SQL_LAT} AS lat, {SQL_LON} AS lon, n_chars FROM documents),
+b AS (SELECT CAST(FLOOR((lat + 90.0) / 1.0) AS BIGINT) AS iy,
+             CAST(FLOOR((lon + 180.0) / 1.0) AS BIGINT) AS ix,
+             count(*) AS n, sum(n_chars) AS sc
+      FROM d GROUP BY 1, 2)
+SELECT 0 AS level, iy AS cy, ix AS cx, n, CAST(sc AS BIGINT) AS sum_chars
+FROM b"""
+    branches = [
+        f"SELECT {k} AS level, iy // {1 << k} AS cy, ix // {1 << k} AS cx,"
+        f" CAST(sum(n) AS BIGINT) AS n, CAST(sum(sc) AS BIGINT) AS sum_chars"
+        f" FROM b GROUP BY 2, 3"
+        for k in range(1, levels)]
+    return head + "\nUNION ALL " + "\nUNION ALL ".join(branches)
+
+
+SQL_FOCAL_MEAN = f"""
+WITH d AS (SELECT {SQL_LAT} AS lat, {SQL_LON} AS lon FROM documents),
+b AS (SELECT CAST(FLOOR((lat + 90.0) / 1.0) AS BIGINT) AS iy,
+             CAST(FLOOR((lon + 180.0) / 1.0) AS BIGINT) AS ix,
+             count(*) AS n
+      FROM d GROUP BY 1, 2)
+SELECT a.iy AS cy, a.ix AS cx, count(*) AS n_nbr,
+       CAST(sum(c.n) AS BIGINT) AS sum_nbr,
+       round(sum(c.n) * 1.0 / count(*), 6) AS focal_mean
+FROM b a JOIN b c
+  ON c.iy BETWEEN a.iy - 1 AND a.iy + 1
+ AND c.ix BETWEEN a.ix - 1 AND a.ix + 1
+GROUP BY a.iy, a.ix
+"""
+
+
 # --- temporal / behavioral analytics (stages/temporal.py) ------------------
 
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
@@ -3599,6 +3652,8 @@ def queries() -> dict:
         "interval_coverage": q_interval_coverage,
         "funnel_counts": q_funnel_counts,
         "cohort_retention": q_cohort_retention,
+        "tile_pyramid": q_tile_pyramid,
+        "focal_mean": q_focal_mean,
     }
 
 
@@ -3696,4 +3751,6 @@ def oracle_sql() -> dict:
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "funnel_counts": _sql_funnel(),
         "cohort_retention": SQL_COHORT_RETENTION,
+        "tile_pyramid": _sql_tile_pyramid(),
+        "focal_mean": SQL_FOCAL_MEAN,
     }
