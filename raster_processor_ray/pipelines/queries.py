@@ -3399,6 +3399,44 @@ SELECT (SELECT count(*) FROM u) AS n_edges,
 """
 
 
+# --- incremental near-dup probe against a persisted band index -------------
+
+def q_minhash_probe(sf_dir: str):
+    """Incremental near-dup detection: persist a MinHash band index over
+    the corpus (doc_id % 5 != 0), probe with the 'new batch' (doc_id %
+    5 == 0) reading ONLY touched index shards, verify candidates with
+    exact distributed Jaccard over the union text table. Rows-only
+    driver check (side-effecting + minhash not SQL-expressible); the
+    probe/prune semantics are pinned in tests/test_minhash_index.py."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from ..stages.dedup import (jaccard_verify_distributed,
+                                minhash_index_build, minhash_index_probe)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = (ids % 5 == 0) if keep_new else (ids % 5 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    new = docs.map_batches(split(True), batch_format="pyarrow")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/graft_q/minhash_idx_{tag}"
+    _sh.rmtree(idx, ignore_errors=True)
+    minhash_index_build(corpus, idx, num_perm=64, num_bands=16,
+                        num_shards=16, input_fingerprint=f"docs:{tag}")
+    cands = minhash_index_probe(new, idx)
+    pairs = cands.map_batches(
+        lambda b: pa.table({"id_a": b["new_id"], "id_b": b["old_id"]}),
+        batch_format="pyarrow")
+    return jaccard_verify_distributed(pairs, docs, threshold=0.6)
+
+
 # --- neighborhood raster ops (aggregate/focal.py) --------------------------
 
 def q_tile_pyramid(sf_dir: str):
@@ -3654,6 +3692,7 @@ def queries() -> dict:
         "cohort_retention": q_cohort_retention,
         "tile_pyramid": q_tile_pyramid,
         "focal_mean": q_focal_mean,
+        "minhash_probe": q_minhash_probe,
     }
 
 
