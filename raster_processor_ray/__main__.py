@@ -75,6 +75,10 @@ def main(argv=None):
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     s.add_argument("--out", default=None,
                    help="optional parquet output directory")
+    s = sub.add_parser("scrub")
+    s.add_argument("corpus", help="resumable layout directory to audit")
+    s.add_argument("--shallow", action="store_true",
+                   help="stat-tier only (presence + byte sizes)")
     s = sub.add_parser("report")
     s.add_argument("proc", help="processed raster (resumable dir or parquet)")
     s.add_argument("truth", help="truth raster (resumable dir or parquet)")
@@ -131,6 +135,17 @@ def main(argv=None):
             print(json.dumps({"query": args.name, "rows": int(len(df)),
                               "columns": list(map(str, df.columns))}))
             return 0
+
+        if args.cmd == "scrub":
+            from .state.scrub import scrub_corpus, scrub_ok
+
+            rep = scrub_corpus(args.corpus, deep=not args.shallow)
+            bad = rep[rep["status"] != "ok"]
+            print(json.dumps({
+                "corpus": args.corpus, "ok": scrub_ok(rep),
+                "shards": int(len(rep)), "rows": int(rep["rows"].clip(lower=0).sum()),
+                "bad": bad.to_dict("records")}))
+            return 0 if scrub_ok(rep) else 1
 
         if args.cmd == "dedup":
             from .stages.cc import component_survivors, connected_components
