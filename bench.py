@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "canonical_docs", "group_split", "hybrid_search", "corpus_upsert",
     "pagerank", "triangle_stats", "link_degrees",
     "interval_coverage", "funnel_counts", "cohort_retention",
-    "tile_pyramid", "focal_mean", "minhash_probe",
+    "tile_pyramid", "focal_mean", "minhash_probe", "data_quality",
 ]
 
 

@@ -3437,6 +3437,53 @@ def q_minhash_probe(sf_dir: str):
     return jaccard_verify_distributed(pairs, docs, threshold=0.6)
 
 
+# --- data-quality expectations (stages/expectations.py) --------------------
+
+def q_data_quality(sf_dir: str):
+    """Declarative expectations over lineitem: range / set / regex /
+    uniqueness rules -> exact violation counts."""
+    from ..stages.expectations import Rule, validate_expectations
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_linestatus",
+                             "l_returnflag", "l_shipdate"])
+    rules = [
+        Rule("qty_range", "l_quantity", "range", lo=2.0, hi=49.0),
+        Rule("ship_not_null", "l_shipdate", "not_null"),
+        Rule("status_in_set", "l_linestatus", "in_set", allowed=("O",)),
+        Rule("flag_regex", "l_returnflag", "regex", pattern="[AN]"),
+        Rule("orderkey_unique", "l_orderkey", "unique"),
+    ]
+    return validate_expectations(ds, rules)
+
+
+SQL_DATA_QUALITY = """
+SELECT 'qty_range' AS rule,
+       CAST(sum(CASE WHEN l_quantity < 2.0 OR l_quantity > 49.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       count(*) AS n_checked FROM lineitem
+UNION ALL
+SELECT 'ship_not_null',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'status_in_set',
+       CAST(sum(CASE WHEN l_linestatus NOT IN ('O') THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'flag_regex',
+       CAST(sum(CASE WHEN NOT regexp_matches(l_returnflag, '[AN]')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       count(*) FROM lineitem
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(coalesce((SELECT sum(c) FROM (
+           SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey
+           HAVING count(*) > 1)), 0) AS BIGINT),
+       (SELECT count(*) FROM lineitem)
+"""
+
+
 # --- neighborhood raster ops (aggregate/focal.py) --------------------------
 
 def q_tile_pyramid(sf_dir: str):
@@ -3693,6 +3740,7 @@ def queries() -> dict:
         "tile_pyramid": q_tile_pyramid,
         "focal_mean": q_focal_mean,
         "minhash_probe": q_minhash_probe,
+        "data_quality": q_data_quality,
     }
 
 
@@ -3792,4 +3840,5 @@ def oracle_sql() -> dict:
         "cohort_retention": SQL_COHORT_RETENTION,
         "tile_pyramid": _sql_tile_pyramid(),
         "focal_mean": SQL_FOCAL_MEAN,
+        "data_quality": SQL_DATA_QUALITY,
     }
