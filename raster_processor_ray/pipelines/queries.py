@@ -3437,6 +3437,29 @@ def q_minhash_probe(sf_dir: str):
     return jaccard_verify_distributed(pairs, docs, threshold=0.6)
 
 
+# --- product-quantized ANN (stages/pq.py) ----------------------------------
+
+def q_pq_top5(sf_dir: str):
+    """IVF-PQ scale path: train PQ codebooks on a bounded sample, encode
+    the embedding column to 8-byte codes, ADC top-5 for the first five
+    vectors as queries. Rows-only driver check (approximate op); ADC
+    exactness vs the reconstruction distance and recall are pinned in
+    tests/test_pq.py."""
+    from ..stages.pq import pq_encode, pq_topk, pq_train
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, ks=16)
+    q = np.stack(ds.limit(5).to_pandas()["embedding"].to_numpy()).astype(
+        np.float64)
+    out = pq_topk(pq_encode(ds, books), books, q, k=5)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        df["adc_dist"] = df["adc_dist"].round(6)
+        return df
+
+    return out.map_batches(tidy, batch_format="pandas")
+
+
 # --- data-quality expectations (stages/expectations.py) --------------------
 
 def q_data_quality(sf_dir: str):
@@ -3741,6 +3764,7 @@ def queries() -> dict:
         "focal_mean": q_focal_mean,
         "minhash_probe": q_minhash_probe,
         "data_quality": q_data_quality,
+        "pq_top5": q_pq_top5,
     }
 
 

@@ -1,0 +1,80 @@
+"""Product quantization (stages/pq.py): encode determinism, ADC equals
+the NumPy reference, recall against exact search on clustered data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raster_processor_ray.stages.pq import (pq_encode, pq_topk,
+                                             pq_train)
+
+
+def _clustered(n=600, d=16, ncl=6, seed=9):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(0, 5, (ncl, d))
+    x = cents[rng.integers(0, ncl, n)] + rng.normal(0, 0.3, (n, d))
+    return x
+
+
+@pytest.fixture()
+def vecs(ray_session):
+    x = _clustered()
+    t = pa.table({"vec_id": np.arange(len(x), dtype=np.int64),
+                  "embedding": pa.array(list(x.astype(np.float64)))})
+    return x, rd.from_arrow(t)
+
+
+def test_encode_deterministic_and_adc_matches_numpy(vecs):
+    x, ds = vecs
+    books = pq_train(ds, m=4, ks=16, vec_col="embedding")
+    assert books.shape == (4, 16, 4)
+    enc = pq_encode(ds, books).to_pandas().sort_values(
+        "vec_id", ignore_index=True)
+    codes = np.frombuffer(b"".join(enc.pq_code), dtype=np.uint8).reshape(
+        len(x), 4)
+    # reference encode
+    for j in range(4):
+        sub = x[:, j * 4:(j + 1) * 4]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        np.testing.assert_array_equal(codes[:, j], d2.argmin(axis=1))
+    # ADC distances vs reference for 3 queries
+    q = x[:3] + 0.01
+    top = pq_topk(pq_encode(ds, books), books, q, k=5).to_pandas()
+    assert len(top) == 15
+    recon = np.concatenate([books[j][codes[:, j]] for j in range(4)], axis=1)
+    for qi in range(3):
+        ref_d = ((recon - q[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(x)), ref_d))[:5]
+        got = top[top.query_id == qi].sort_values("rank")
+        np.testing.assert_array_equal(got.vec_id.to_numpy(), order)
+        np.testing.assert_allclose(got.adc_dist.to_numpy(), ref_d[order],
+                                   rtol=1e-9)
+
+
+def test_pq_recall_on_clustered_data(ray_session):
+    # wider within-cluster spread than the shared fixture: with noise
+    # far below the quantization cell size all cluster members collapse
+    # to ONE code and within-cluster ranking is undefined — that is
+    # intrinsic PQ behavior, not what recall should measure
+    x = _clustered(n=600, d=16, ncl=6, seed=9) \
+        + np.random.default_rng(1).normal(0, 1.5, (600, 16))
+    t = pa.table({"vec_id": np.arange(len(x), dtype=np.int64),
+                  "embedding": pa.array(list(x.astype(np.float64)))})
+    ds = rd.from_arrow(t)
+    books = pq_train(ds, m=4, ks=32, vec_col="embedding")
+    codes = pq_encode(ds, books)
+    q = x[100:110]
+    approx = pq_topk(codes, books, q, k=10).to_pandas()
+    hits = 0
+    for qi in range(10):
+        ref_d = ((x - q[qi]) ** 2).sum(axis=1)
+        exact = set(np.argsort(ref_d)[:10].tolist())
+        got = set(approx[approx.query_id == qi].vec_id.tolist())
+        hits += len(exact & got)
+    recall = hits / 100.0
+    # 16 bytes/vector (8x compression) on noisy 16-dim data: observed
+    # ~0.49; the floor guards "meaningfully better than chance"
+    # (random recall here is 10/600 ~ 0.017), not a quality SLA
+    assert recall >= 0.35, recall
