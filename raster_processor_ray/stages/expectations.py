@@ -98,10 +98,10 @@ def validate_expectations(ds, rules: list[Rule], *, num_buckets: int = 32):
                              "c": np.array([cnt.sum()], dtype=np.int64)})
 
         folded = per_key.map_batches(fold, batch_format="pyarrow").to_pandas()
+        v = np.int64(folded["v"].sum()) if not folded.empty else np.int64(0)
+        c = np.int64(folded["c"].sum()) if not folded.empty else np.int64(0)
         out_frames.append(pd.DataFrame({
-            "rule": [r.name],
-            "n_violations": [np.int64(folded["v"].sum())],
-            "n_checked": [np.int64(folded["c"].sum())]}))
+            "rule": [r.name], "n_violations": [v], "n_checked": [c]}))
 
     out = pd.concat(out_frames, ignore_index=True)
     out = out.sort_values("rule", ignore_index=True)

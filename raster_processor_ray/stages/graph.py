@@ -124,6 +124,9 @@ def in_degree_hist(docs, n_nodes: int, *, num_buckets: int = 32) -> pd.DataFrame
                               num_buckets=num_buckets)
     hist = hash_aggregate(per_node, "in_deg", {"n_nodes": (None, "count")},
                           num_buckets=num_buckets).to_pandas()
+    if hist.empty:   # fully empty aggregates surface with no columns
+        hist = pd.DataFrame({"in_deg": pd.Series(dtype=np.int64),
+                             "n_nodes": pd.Series(dtype=np.int64)})
     zero = n_nodes - int(hist["n_nodes"].sum())
     if zero > 0:
         hist = pd.concat(

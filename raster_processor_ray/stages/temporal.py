@@ -111,6 +111,11 @@ def funnel_counts(ds, key: str, ts_col: str, type_col: str,
              .groupby("_bucket")
              .map_groups(lambda d: per_bucket(d.drop(columns=["_bucket"])),
                          batch_format="pandas")).to_pandas()
+    if parts.empty:   # zero input blocks -> frame without columns
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                               dtype=np.int64),
+                             "event_type": steps,
+                             "n_users": np.zeros(len(steps), dtype=np.int64)})
     out = parts.groupby(["step", "event_type"], as_index=False)["n_users"].sum()
     out = out.sort_values("step", ignore_index=True)
     return out.astype({"step": np.int64, "n_users": np.int64})
