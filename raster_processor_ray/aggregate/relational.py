@@ -419,3 +419,52 @@ def topk(ds, by: str, k: int, *, descending: bool = True, tie_col: str | None = 
     return (pin_for_shuffle(partials.map_batches(
                 lambda df: df.assign(_one=0), batch_format="pandas"))
             .groupby("_one").map_groups(merge, batch_format="pandas"))
+
+
+def string_agg(ds, key, val_col: str, *, sep: str = ",",
+               order_by: str | None = None, out: str = "agg",
+               num_buckets: int = 32):
+    """Grouped string concatenation with a deterministic ORDER BY —
+    ``string_agg(val, sep ORDER BY order_by)``.
+
+    Vectorized per bucket: one sort by (key, order_by), run offsets over
+    the sorted keys, a zero-copy ListArray view of the sorted values,
+    and ONE ``pc.binary_join`` arrow kernel per bucket — no per-group
+    Python join. Giant hot keys concentrate their rows in one bucket
+    (same caveat as every keyed concat; pre-truncate values upstream if
+    a single group's concatenation must stay bounded).
+    """
+    import pyarrow.compute as pc
+
+    from ..util import pin_for_shuffle
+
+    keys = [key] if isinstance(key, str) else list(key)
+    sort_cols = keys + ([order_by] if order_by else [])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, keys, num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        k = df[keys[0]].to_numpy() if len(keys) == 1 else \
+            pd.MultiIndex.from_frame(df[keys]).to_numpy()
+        n = len(df)
+        if n == 0:
+            return pa.table({**{c: pa.array([]) for c in keys},
+                             out: pa.array([], type=pa.string())})
+        same = np.zeros(n, dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        starts = np.flatnonzero(~same)
+        offsets = np.append(starts, n).astype(np.int32)
+        vals = pa.array(df[val_col].astype(str))
+        lst = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        cols = {c: pa.array(df[c].to_numpy()[starts]) for c in keys}
+        cols[out] = pc.binary_join(lst, sep)
+        return pa.table(cols)
+
+    return (pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(lambda d: per_bucket(d.drop(columns=["_bucket"])),
+                        batch_format="pandas"))

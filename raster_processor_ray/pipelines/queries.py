@@ -3437,6 +3437,46 @@ def q_minhash_probe(sf_dir: str):
     return jaccard_verify_distributed(pairs, docs, threshold=0.6)
 
 
+# --- grouped string aggregation + sequence gaps ----------------------------
+
+def q_nation_names(sf_dir: str):
+    """string_agg(c_name, ',' ORDER BY c_custkey) per nation — grouped
+    concat via run-offset ListArray + one binary_join per bucket."""
+    from ..aggregate.relational import string_agg
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_name", "c_custkey"])
+    return string_agg(ds, "c_nationkey", "c_name", sep=",",
+                      order_by="c_custkey", out="names")
+
+
+SQL_NATION_NAMES = """
+SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_custkey) AS names
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_sequence_gaps(sf_dir: str):
+    """Gap ranges in the event_id sequence after dropping multiples of 7
+    (two distributed anti-joins; only O(#gaps) boundary rows leave the
+    plan)."""
+    from ..stages.sequence import sequence_gaps
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def drop7(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["event_id"], dtype=np.int64)
+        return b.filter(pa.array(v % 7 != 0))
+
+    return sequence_gaps(ds.map_batches(drop7, batch_format="pyarrow"),
+                         "event_id")
+
+
+SQL_SEQUENCE_GAPS = """
+WITH p AS (SELECT DISTINCT event_id AS v FROM events WHERE event_id % 7 <> 0),
+l AS (SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM p)
+SELECT v + 1 AS gap_start, nxt - 1 AS gap_end FROM l WHERE nxt > v + 1
+"""
+
+
 # --- product-quantized ANN (stages/pq.py) ----------------------------------
 
 def q_pq_top5(sf_dir: str):
@@ -3765,6 +3805,8 @@ def queries() -> dict:
         "minhash_probe": q_minhash_probe,
         "data_quality": q_data_quality,
         "pq_top5": q_pq_top5,
+        "nation_names": q_nation_names,
+        "sequence_gaps": q_sequence_gaps,
     }
 
 
@@ -3865,4 +3907,6 @@ def oracle_sql() -> dict:
         "tile_pyramid": _sql_tile_pyramid(),
         "focal_mean": SQL_FOCAL_MEAN,
         "data_quality": SQL_DATA_QUALITY,
+        "nation_names": SQL_NATION_NAMES,
+        "sequence_gaps": SQL_SEQUENCE_GAPS,
     }
