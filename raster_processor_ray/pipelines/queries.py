@@ -3479,6 +3479,32 @@ SELECT v + 1 AS gap_start, nxt - 1 AS gap_end FROM l WHERE nxt > v + 1
 
 # --- product-quantized ANN (stages/pq.py) ----------------------------------
 
+def q_ivf_pq_top5(sf_dir: str):
+    """Full IVF-PQ layout: persist coarse-sharded 8-byte codes, probe
+    nprobe=4 of 16 buckets reading only those shards, ADC top-5.
+    Rows-only (approximate, side-effecting)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from ..stages.pq import ivf_pq_build_index, ivf_pq_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/graft_q/ivfpq_{tag}"
+    _sh.rmtree(idx, ignore_errors=True)
+    ivf_pq_build_index(ds, idx, num_centroids=16, m=8, ks=16,
+                       input_fingerprint=f"emb:{tag}")
+    q = np.stack(ds.limit(5).to_pandas()["embedding"].to_numpy()).astype(
+        np.float64)
+    out = ivf_pq_topk(idx, q, k=5, nprobe=4)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        df["adc_dist"] = df["adc_dist"].round(6)
+        return df
+
+    return out.map_batches(tidy, batch_format="pandas")
+
+
 def q_pq_top5(sf_dir: str):
     """IVF-PQ scale path: train PQ codebooks on a bounded sample, encode
     the embedding column to 8-byte codes, ADC top-5 for the first five
@@ -3807,6 +3833,7 @@ def queries() -> dict:
         "pq_top5": q_pq_top5,
         "nation_names": q_nation_names,
         "sequence_gaps": q_sequence_gaps,
+        "ivf_pq_top5": q_ivf_pq_top5,
     }
 
 

@@ -170,3 +170,105 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, k: int = 10, *,
 
     return partials.groupby("query_id").map_groups(
         combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse shard pruning + byte-code scan (the billion-vector layout)
+# ---------------------------------------------------------------------------
+
+class IvfPqEncode:
+    """One fused pass: normalize -> coarse-assign -> PQ-encode.
+    Emits (id, ivf_bucket, pq_code); vectors never leave the task."""
+
+    def __init__(self, cents_ref, books_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        self.cents = np.asarray(
+            ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray)
+            else cents_ref, dtype=np.float64)
+        self.books = np.asarray(
+            ray.get(books_ref) if not isinstance(books_ref, np.ndarray)
+            else books_ref, dtype=np.float64)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _normalize
+        x = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
+        bucket = (x @ self.cents.T).argmax(axis=1).astype(np.int64)
+        m, ks, dsub = self.books.shape
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d2 = (sub ** 2).sum(1)[:, None] - 2.0 * sub @ self.books[j].T \
+                + (self.books[j] ** 2).sum(1)[None, :]
+            codes[:, j] = d2.argmin(axis=1)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "ivf_bucket": pa.array(bucket),
+            "pq_code": pa.array([row.tobytes() for row in codes],
+                                type=pa.binary())})
+
+
+def ivf_pq_build_index(ds, out_dir: str, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id", num_centroids: int = 16,
+                       m: int = 8, ks: int = 16,
+                       input_fingerprint: str | None = None):
+    """Persist the standard IVF-PQ layout: shard i on disk holds bucket
+    i's (id, m-byte code) rows — a probe reads only ``nprobe`` shards
+    AND scans only codes, so per-probed-vector cost is m bytes of I/O
+    and m table lookups. Vectors are L2-normalized before both coarse
+    assignment and PQ (unit-sphere L2^2 = 2 - 2*cos, so ADC ranking
+    matches the engine's cosine semantics). Returns (centroids,
+    codebooks), also persisted alongside the shards."""
+    import os
+
+    import ray
+
+    from .ann import _normalize, ivf_build_centroids
+    from ..state import lineage
+
+    cents = ivf_build_centroids(ds, vec_col=vec_col,
+                                num_centroids=num_centroids)
+
+    def norm_vec(b: pa.Table) -> pa.Table:
+        xs = _normalize(_as_matrix(b[vec_col]).astype(np.float64))
+        return pa.table({id_col: b[id_col],
+                         vec_col: pa.array(list(xs))})
+
+    books = pq_train(ds.map_batches(norm_vec, batch_format="pyarrow"),
+                     vec_col=vec_col, m=m, ks=ks)
+    cref, bref = ray.put(cents), ray.put(books)
+    encoded = ds.map_batches(
+        IvfPqEncode, fn_constructor_args=(cref, bref, vec_col, id_col),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    lineage.write_resumable(encoded, out_dir, key_col="ivf_bucket",
+                            num_shards=num_centroids,
+                            input_fingerprint=input_fingerprint)
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    np.save(os.path.join(out_dir, "codebooks.npy"), books)
+    return cents, books
+
+
+def ivf_pq_topk(index_dir: str, queries: np.ndarray, k: int = 10, *,
+                nprobe: int = 4, id_col: str = "vec_id"):
+    """Probe a persisted IVF-PQ index: read only the ``nprobe`` nearest
+    buckets' shards per query (union across queries, like
+    ``ivf_topk_indexed``), ADC top-k over their codes."""
+    import os
+
+    import ray.data as rd
+
+    from .ann import _normalize
+    from ..state import lineage
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = set(np.unique(probe).tolist())
+    avail = lineage.finished_shards(index_dir)
+    paths = [os.path.join(index_dir, f"shard={s:05d}", "data.parquet")
+             for s in sorted(wanted & avail)]
+    codes = rd.read_parquet(paths, partitioning=None)
+    return pq_topk(codes, books, q, k, id_col=id_col)

@@ -78,3 +78,26 @@ def test_pq_recall_on_clustered_data(ray_session):
     # ~0.49; the floor guards "meaningfully better than chance"
     # (random recall here is 10/600 ~ 0.017), not a quality SLA
     assert recall >= 0.35, recall
+
+
+def test_ivf_pq_index_roundtrip(ray_session, tmp_path):
+    from raster_processor_ray.stages.pq import (ivf_pq_build_index,
+                                                ivf_pq_topk)
+    x = _clustered(n=500, d=16, ncl=5, seed=3)
+    t = pa.table({"vec_id": np.arange(len(x), dtype=np.int64),
+                  "embedding": pa.array(list(x.astype(np.float64)))})
+    ds = rd.from_arrow(t)
+    idx = str(tmp_path / "ivfpq")
+    cents, books = ivf_pq_build_index(ds, idx, num_centroids=5, m=4, ks=16)
+    assert cents.shape[0] == 5 and books.shape == (4, 16, 4)
+    # query with dataset points: self should be retrievable with high
+    # probability when its own bucket is probed (nprobe covers all here)
+    q = x[:5]
+    top = ivf_pq_topk(idx, q, k=3, nprobe=5).to_pandas()
+    assert len(top) == 15
+    self_hits = sum(int(qi in top[top.query_id == qi].vec_id.tolist())
+                    for qi in range(5))
+    assert self_hits >= 4  # code collisions may shadow at most one self
+    # pruned probe (nprobe=1) reads a strict subset and still returns k
+    top1 = ivf_pq_topk(idx, q, k=3, nprobe=1).to_pandas()
+    assert len(top1) == 15
