@@ -132,3 +132,71 @@ def focal_mean(ds, lat_col: str, lon_col: str, value_col: str, *,
         return df[["cy", "cx", "n_nbr", "sum_nbr", "focal_mean"]]
 
     return agg.map_batches(fin, batch_format="pandas")
+
+
+def raster_resample_linear(ds, lat_col: str, lon_col: str, value_col: str, *,
+                           res_src: float = 1.0, res_dst: float = 1.5,
+                           num_buckets: int = 32, round_decimals: int = 6):
+    """Resample the per-cell count raster onto a coarser/finer grid with
+    a normalized tent (bilinear) kernel -> (jy, jx, value).
+
+    Shape: one sample-to-src-cell aggregate, then each src cell fans out
+    to the <= 2x2 dst stencils its center falls in (emitted as a 3x3
+    candidate window filtered by weight > 0 — branch-free and identical
+    in the SQL oracle), one aggregate by dst cell; value =
+    sum(w*v)/sum(w), i.e. partial stencils renormalize (masked-bilinear
+    convention, the reference's masked-mean spirit).
+
+    Determinism: with res_dst/res_src a small binary-fraction ratio
+    (e.g. 1.5) every weight is an exact float64 binary fraction and
+    w*count products are exact, so the sums are order-free; the final
+    division is rounded in both engines.
+    """
+    from .relational import hash_aggregate
+
+    base = base_raster(ds, lat_col, lon_col, value_col,
+                       res_deg=res_src, num_buckets=num_buckets)
+    r = res_dst / res_src
+    # candidate dst indices solve |iy - (r*jy + (r-1)/2)| < 1, an
+    # interval of width 2/r in jy; the 3-wide window around its upper
+    # floor covers it only when 2/r <= 3
+    if r < 2.0 / 3.0:
+        raise ValueError(
+            f"res_dst/res_src = {r:.3f} < 2/3: upsampling that steep "
+            "needs a wider candidate window than the 3x3 emitted here")
+    # integers in an open interval of width 2/r <= 3 all lie within two
+    # below the floor of its upper end
+    off = np.array([-2, -1, 0], dtype=np.int64)
+    ub = (3.0 - r) / 2.0   # upper bound offset: jy < (iy + ub) / r
+
+    def fanout(b: pa.Table) -> pa.Table:
+        iy = np.asarray(b["iy"], dtype=np.int64)
+        ix = np.asarray(b["ix"], dtype=np.int64)
+        n = np.asarray(b["n"], dtype=np.int64)
+        cy = np.floor((iy + ub) / r).astype(np.int64)
+        cx = np.floor((ix + ub) / r).astype(np.int64)
+        # 3x3 candidate window per src cell
+        jy = (cy[:, None] + off[None, :])[:, :, None]
+        jx = (cx[:, None] + off[None, :])[:, None, :]
+        jy = np.broadcast_to(jy, (len(iy), 3, 3)).reshape(-1)
+        jx = np.broadcast_to(jx, (len(ix), 3, 3)).reshape(-1)
+        iyr = np.repeat(iy, 9)
+        ixr = np.repeat(ix, 9)
+        nr = np.repeat(n, 9)
+        dy = np.abs(iyr - (r * jy + (r - 1.0) / 2.0))
+        dx = np.abs(ixr - (r * jx + (r - 1.0) / 2.0))
+        keep = (dy < 1.0) & (dx < 1.0)
+        w = (1.0 - dy[keep]) * (1.0 - dx[keep])
+        return pa.table({"jy": jy[keep], "jx": jx[keep],
+                         "wv": w * nr[keep], "w": w})
+
+    agg = hash_aggregate(base.map_batches(fanout, batch_format="pyarrow"),
+                         ["jy", "jx"],
+                         {"sum_wv": ("wv", "sum"), "sum_w": ("w", "sum")},
+                         num_buckets=num_buckets)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["value"] = np.round(df["sum_wv"] / df["sum_w"], round_decimals)
+        return df[["jy", "jx", "value"]]
+
+    return agg.map_batches(fin, batch_format="pandas")

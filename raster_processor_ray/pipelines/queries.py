@@ -3626,6 +3626,37 @@ GROUP BY a.iy, a.ix
 """
 
 
+def q_raster_resample(sf_dir: str):
+    """Tent-kernel (bilinear) resample of the 1-deg doc-count raster
+    onto a 1.5-deg grid; weights are exact binary fractions at this
+    ratio so the sums are order-free."""
+    from ..aggregate.focal import raster_resample_linear
+    ds = _docs_with_geo(sf_dir)
+    return raster_resample_linear(ds, "lat", "lon", "n_chars",
+                                  res_src=1.0, res_dst=1.5)
+
+
+SQL_RASTER_RESAMPLE = f"""
+WITH d AS (SELECT {SQL_LAT} AS lat, {SQL_LON} AS lon FROM documents),
+b AS (SELECT CAST(FLOOR((lat + 90.0) / 1.0) AS BIGINT) AS iy,
+             CAST(FLOOR((lon + 180.0) / 1.0) AS BIGINT) AS ix,
+             count(*) AS n
+      FROM d GROUP BY 1, 2),
+c AS (SELECT b.iy, b.ix, b.n,
+             cy.o + CAST(FLOOR((b.iy + 0.75) / 1.5) AS BIGINT) AS jy,
+             cx.o + CAST(FLOOR((b.ix + 0.75) / 1.5) AS BIGINT) AS jx
+      FROM b, (VALUES (-2), (-1), (0)) cy(o), (VALUES (-2), (-1), (0)) cx(o)),
+w AS (SELECT jy, jx, n,
+             (1.0 - abs(iy - (1.5 * jy + 0.25)))
+             * (1.0 - abs(ix - (1.5 * jx + 0.25))) AS wt
+      FROM c
+      WHERE abs(iy - (1.5 * jy + 0.25)) < 1.0
+        AND abs(ix - (1.5 * jx + 0.25)) < 1.0)
+SELECT jy, jx, round(sum(wt * n) / sum(wt), 6) AS value
+FROM w GROUP BY jy, jx
+"""
+
+
 # --- temporal / behavioral analytics (stages/temporal.py) ------------------
 
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
@@ -3834,6 +3865,7 @@ def queries() -> dict:
         "nation_names": q_nation_names,
         "sequence_gaps": q_sequence_gaps,
         "ivf_pq_top5": q_ivf_pq_top5,
+        "raster_resample": q_raster_resample,
     }
 
 
@@ -3936,4 +3968,5 @@ def oracle_sql() -> dict:
         "data_quality": SQL_DATA_QUALITY,
         "nation_names": SQL_NATION_NAMES,
         "sequence_gaps": SQL_SEQUENCE_GAPS,
+        "raster_resample": SQL_RASTER_RESAMPLE,
     }

@@ -60,3 +60,41 @@ def test_focal_mean_matches_bruteforce(samples):
         assert row.n_nbr == len(nbrs)
         assert row.sum_nbr == sum(nbrs)
         assert row.focal_mean == round(sum(nbrs) / len(nbrs), 6)
+
+
+def test_resample_matches_bruteforce(samples):
+    from raster_processor_ray.aggregate.focal import raster_resample_linear
+    df, ds = samples
+    out = raster_resample_linear(ds, "lat", "lon", "v", res_src=1.0,
+                                 res_dst=1.5).to_pandas()
+    # brute force: src cell counts, then tent weights at every dst cell
+    iy = np.floor(df.lat + 90.0).astype(np.int64)
+    ix = np.floor(df.lon + 180.0).astype(np.int64)
+    base = pd.DataFrame({"iy": iy, "ix": ix}).groupby(
+        ["iy", "ix"]).size().rename("n").reset_index()
+    acc = {}
+    for row in base.itertuples():
+        for jy in range(int((row.iy - 2) // 1.5) - 1,
+                        int((row.iy + 2) // 1.5) + 2):
+            for jx in range(int((row.ix - 2) // 1.5) - 1,
+                            int((row.ix + 2) // 1.5) + 2):
+                dy = abs(row.iy - (1.5 * jy + 0.25))
+                dx = abs(row.ix - (1.5 * jx + 0.25))
+                if dy < 1.0 and dx < 1.0:
+                    w = (1.0 - dy) * (1.0 - dx)
+                    s = acc.setdefault((jy, jx), [0.0, 0.0])
+                    s[0] += w * row.n
+                    s[1] += w
+    got = out.set_index(["jy", "jx"])["value"]
+    assert len(got) == len(acc)
+    for (jy, jx), (wv, w) in acc.items():
+        assert got[(jy, jx)] == round(wv / w, 6), (jy, jx)
+
+
+def test_resample_upsample_guard(samples):
+    from raster_processor_ray.aggregate.focal import raster_resample_linear
+    _, ds = samples
+    import pytest as _pt
+    with _pt.raises(ValueError, match="2/3"):
+        raster_resample_linear(ds, "lat", "lon", "v", res_src=1.0,
+                               res_dst=0.5)
