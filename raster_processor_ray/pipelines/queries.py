@@ -3626,6 +3626,42 @@ GROUP BY a.iy, a.ix
 """
 
 
+def q_track_lengths(sf_dir: str):
+    """Per-user geodesic track length over ts-ordered geotagged events
+    (haversine, mean-radius sphere); users with >= 2 events."""
+    from ..stages.trajectory import track_stats
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def add_geo(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["event_id"], dtype=np.int64)
+        lat, lon = geotag_from_int(ids)
+        b = b.append_column("lat", pa.array(lat))
+        return b.append_column("lon", pa.array(lon))
+
+    return track_stats(ds.map_batches(add_geo, batch_format="pyarrow"),
+                       "user_id", "ts", "lat", "lon", tie_col="event_id")
+
+
+SQL_TRACK_LENGTHS = f"""
+WITH t AS (SELECT user_id, ts, event_id,
+        {GEOTAG_INT_SQL_LAT.format(id='event_id', salt=0)} AS lat,
+        {GEOTAG_INT_SQL_LON.format(id='event_id', salt=0)} AS lon
+      FROM events),
+l AS (SELECT user_id, lat, lon,
+        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (SELECT user_id,
+        2.0 * 6371008.8 * asin(sqrt(least(1.0,
+            pow(sin(radians(lat - plat) / 2.0), 2)
+            + cos(radians(plat)) * cos(radians(lat))
+              * pow(sin(radians(lon - plon) / 2.0), 2)))) AS seg
+      FROM l WHERE plat IS NOT NULL)
+SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_points,
+       round(sum(seg), 3) AS track_m
+FROM d GROUP BY user_id
+"""
+
+
 def q_raster_resample(sf_dir: str):
     """Tent-kernel (bilinear) resample of the 1-deg doc-count raster
     onto a 1.5-deg grid; weights are exact binary fractions at this
@@ -3866,6 +3902,7 @@ def queries() -> dict:
         "sequence_gaps": q_sequence_gaps,
         "ivf_pq_top5": q_ivf_pq_top5,
         "raster_resample": q_raster_resample,
+        "track_lengths": q_track_lengths,
     }
 
 
@@ -3969,4 +4006,5 @@ def oracle_sql() -> dict:
         "nation_names": SQL_NATION_NAMES,
         "sequence_gaps": SQL_SEQUENCE_GAPS,
         "raster_resample": SQL_RASTER_RESAMPLE,
+        "track_lengths": SQL_TRACK_LENGTHS,
     }
