@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "interval_coverage", "funnel_counts", "cohort_retention",
     "tile_pyramid", "focal_mean", "minhash_probe", "data_quality",
     "pq_top5", "nation_names", "sequence_gaps", "ivf_pq_top5",
-    "raster_resample", "track_lengths",
+    "raster_resample", "track_lengths", "track_simplify",
 ]
 
 

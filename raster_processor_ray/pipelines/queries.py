@@ -3662,6 +3662,25 @@ FROM d GROUP BY user_id
 """
 
 
+def q_track_simplify(sf_dir: str):
+    """Douglas-Peucker simplification of per-user geotagged tracks
+    (eps 15 deg on the plate-carree plane). Rows-only (the recursive
+    split is not SQL-expressible); exact equivalence to an independent
+    recursive reference is pinned in tests/test_trajectory.py."""
+    from ..stages.trajectory import track_simplify
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def add_geo(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["event_id"], dtype=np.int64)
+        lat, lon = geotag_from_int(ids)
+        b = b.append_column("lat", pa.array(lat))
+        return b.append_column("lon", pa.array(lon))
+
+    return track_simplify(ds.map_batches(add_geo, batch_format="pyarrow"),
+                          "user_id", "ts", "lat", "lon", eps_deg=15.0,
+                          tie_col="event_id")
+
+
 def q_raster_resample(sf_dir: str):
     """Tent-kernel (bilinear) resample of the 1-deg doc-count raster
     onto a 1.5-deg grid; weights are exact binary fractions at this
@@ -3903,6 +3922,7 @@ def queries() -> dict:
         "ivf_pq_top5": q_ivf_pq_top5,
         "raster_resample": q_raster_resample,
         "track_lengths": q_track_lengths,
+        "track_simplify": q_track_simplify,
     }
 
 

@@ -65,3 +65,77 @@ def track_stats(ds, key: str, ts_col: str, lat_col: str, lon_col: str, *,
     return (pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def _dp_keep_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep mask for ONE polyline in planar coords
+    (iterative stack, no recursion); endpoints always kept. The
+    segment-distance evaluation inside each split is vectorized; the
+    stack depth is O(log n) typical / O(n) worst."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        seg = np.hypot(dx, dy)
+        px = x[a + 1:b]
+        py = y[a + 1:b]
+        if seg == 0.0:
+            d = np.hypot(px - x[a], py - y[a])
+        else:
+            d = np.abs(dx * (py - y[a]) - dy * (px - x[a])) / seg
+        i = int(np.argmax(d))
+        if d[i] > eps:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
+
+
+def track_simplify(ds, key: str, ts_col: str, lat_col: str, lon_col: str, *,
+                   eps_deg: float, tie_col: str | None = None,
+                   num_buckets: int = 64):
+    """Per-key Douglas-Peucker polyline simplification -> the kept
+    points (key, ts[, tie], lat, lon) in track order.
+
+    Tolerance is in degrees on the plate-carree plane (the geotag's
+    native space); the per-track refinement loop is sequential BY THE
+    ALGORITHM (each split depends on the previous), so the scale story
+    is cross-track parallelism: tracks hash into buckets, every split's
+    distance scan is vectorized, and a track's cost is O(n log n)
+    typical in its own length only.
+    """
+    from ..aggregate.relational import _key_bucket
+
+    sort_cols = [key, ts_col] + ([tie_col] if tie_col else [])
+    out_cols = sort_cols + [lat_col, lon_col]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, [key], num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            sort_cols, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return df[out_cols]
+        k = df[key].to_numpy()
+        lat = df[lat_col].to_numpy(dtype=np.float64)
+        lon = df[lon_col].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], n]
+        keep = np.zeros(n, dtype=bool)
+        for a, b in zip(starts, ends):
+            keep[a:b] = _dp_keep_mask(lon[a:b], lat[a:b], eps_deg)
+        return df.loc[keep, out_cols].reset_index(drop=True)
+
+    return (pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -55,3 +55,40 @@ def test_track_stats_partition_invariant(pts):
     pd.testing.assert_frame_equal(
         a.sort_values("k", ignore_index=True),
         b.sort_values("k", ignore_index=True))
+
+
+def _dp_ref(x, y, eps):
+    """Independent recursive Douglas-Peucker reference."""
+    n = len(x)
+    if n <= 2:
+        return list(range(n))
+    dx, dy = x[-1] - x[0], y[-1] - y[0]
+    seg = np.hypot(dx, dy)
+    if seg == 0.0:
+        d = np.hypot(x[1:-1] - x[0], y[1:-1] - y[0])
+    else:
+        d = np.abs(dx * (y[1:-1] - y[0]) - dy * (x[1:-1] - x[0])) / seg
+    i = int(np.argmax(d))
+    if d[i] <= eps:
+        return [0, n - 1]
+    m = i + 1
+    left = _dp_ref(x[:m + 1], y[:m + 1], eps)
+    right = _dp_ref(x[m:], y[m:], eps)
+    return left[:-1] + [m + r for r in right]
+
+
+def test_track_simplify_matches_reference(pts):
+    from raster_processor_ray.stages.trajectory import track_simplify
+    df, ds = pts
+    eps = 5.0
+    out = track_simplify(ds, "k", "ts", "lat", "lon", eps_deg=eps,
+                         tie_col="tie", num_buckets=4).to_pandas()
+    for k, sub in df.groupby("k"):
+        sub = sub.sort_values(["ts", "tie"]).reset_index(drop=True)
+        idx = _dp_ref(sub.lon.to_numpy(), sub.lat.to_numpy(), eps)
+        got = out[out.k == k].sort_values(["ts", "tie"])
+        ref = sub.iloc[sorted(idx)]
+        np.testing.assert_array_equal(got.tie.to_numpy(),
+                                      ref.tie.to_numpy())
+    # simplification actually drops points at this tolerance
+    assert len(out) < len(df)
