@@ -3336,6 +3336,20 @@ def q_pagerank(sf_dir: str):
     return pagerank(docs, n, iters=5, damping=0.85)
 
 
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank: teleport mass concentrated on the seed
+    set doc_id % 100 == 0 (trusted-seed propagation); 5 iterations,
+    damping 0.85, pr rounded to 9 decimals in both engines."""
+    from ..stages.graph import pagerank
+    docs, n = _graph_docs(sf_dir)
+
+    def seeds(ids: np.ndarray) -> np.ndarray:
+        return (ids % 100 == 0).astype(np.float64)
+
+    return pagerank(docs, n, iters=5, damping=0.85,
+                    teleport_weights=seeds)
+
+
 def q_triangle_stats(sf_dir: str):
     """Global (n_edges, n_wedges, n_triangles) by min-centered wedge join."""
     from ..stages.graph import triangle_stats
@@ -3377,6 +3391,33 @@ def _sql_pagerank(iters: int = 5) -> str:
         parts.append(
             f"r{k} AS (SELECT dd.doc_id AS node,"
             f" (1.0 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * coalesce(s.m, CAST(0 AS DOUBLE)) AS pr"
+            f" FROM documents dd LEFT JOIN ("
+            f"SELECT ew.dst AS node, sum(r.pr * ew.w) AS m"
+            f" FROM ew JOIN r{k-1} r ON r.node = ew.src GROUP BY ew.dst"
+            f") s ON s.node = dd.doc_id),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, round(pr, 9) AS pr FROM r{iters}")
+    return "\n".join(parts)
+
+
+def _sql_pagerank_personalized(iters: int = 5) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    seed = "CASE WHEN {a}.doc_id % 100 = 0 THEN 1.0 ELSE 0.0 END"
+    parts = [
+        f"WITH edges AS ({_graph_edges_cte()}),",
+        "odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),",
+        "ew AS (SELECT e.src, e.dst, 1.0 / o.od AS w"
+        " FROM edges e JOIN odeg o ON o.src = e.src),",
+        "ws AS (SELECT CAST(sum(CASE WHEN doc_id % 100 = 0 THEN 1.0"
+        " ELSE 0.0 END) AS DOUBLE) AS n FROM documents),",
+        f"r0 AS (SELECT doc_id AS node, {seed.format(a='documents')}"
+        " / (SELECT n FROM ws) AS pr FROM documents),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT dd.doc_id AS node,"
+            f" (1.0 - {d}) * {seed.format(a='dd')} / (SELECT n FROM ws)"
             f" + {d} * coalesce(s.m, CAST(0 AS DOUBLE)) AS pr"
             f" FROM documents dd LEFT JOIN ("
             f"SELECT ew.dst AS node, sum(r.pr * ew.w) AS m"
@@ -3908,6 +3949,7 @@ def queries() -> dict:
         "canonical_docs": q_canonical_docs,
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "triangle_stats": q_triangle_stats,
         "interval_coverage": q_interval_coverage,
         "funnel_counts": q_funnel_counts,
@@ -4016,6 +4058,7 @@ def oracle_sql() -> dict:
         "crawl_diff": SQL_CRAWL_DIFF,
         "link_degrees": _sql_link_degrees(),
         "pagerank": _sql_pagerank(),
+        "pagerank_personalized": _sql_pagerank_personalized(),
         "triangle_stats": _sql_triangle_stats(),
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "funnel_counts": _sql_funnel(),

@@ -137,18 +137,41 @@ def in_degree_hist(docs, n_nodes: int, *, num_buckets: int = 32) -> pd.DataFrame
 
 
 def pagerank(docs, n_nodes: int, *, iters: int = 5, damping: float = 0.85,
-             num_buckets: int = 32, round_decimals: int | None = 9):
+             num_buckets: int = 32, round_decimals: int | None = 9,
+             teleport_weights=None):
     """Iterative PageRank; returns a (node, pr) dataset covering ALL
     nodes.  No dangling-mass redistribution (every synthetic node has
     out-degree >= 1 almost surely; the oracle applies the identical
     rule).  ``round_decimals`` is applied once at the end so the
     order-sensitive last float bits of the big sums never reach the
     comparison (queries.py determinism rules).
+
+    ``teleport_weights``: optional vectorized ``ids -> float64 weights``
+    for PERSONALIZED PageRank — teleport mass (1-d) distributes
+    proportionally to the weights and the rank vector initializes to
+    the normalized weights.  Per-node teleports ride the zero-seed rows
+    (one extra float column through the existing exchange, no new
+    shuffle).  Integer-valued weights keep the normalizer W an exact
+    float64 sum at any partitioning; ``None`` = uniform (classic).
     """
     if n_nodes <= 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "pr": pa.array([], pa.float64())}))
+
+    if teleport_weights is None:
+        w_total = float(n_nodes)
+        weights_of = (lambda ids: np.ones(len(ids)))
+    else:
+        weights_of = teleport_weights
+        parts = docs.map_batches(
+            lambda b: pa.table({"s": np.array(
+                [weights_of(np.asarray(b["doc_id"],
+                                       dtype=np.int64)).sum()])}),
+            batch_format="pyarrow")
+        w_total = float(parts.sum("s"))
+        if w_total <= 0:
+            raise ValueError("teleport_weights sum to zero")
 
     def tag_edges(b: pa.Table) -> pa.Table:
         src, dst, w = _emit_edges(np.asarray(b["doc_id"]), n_nodes)
@@ -167,6 +190,7 @@ def pagerank(docs, n_nodes: int, *, iters: int = 5, damping: float = 0.85,
         node = np.asarray(b["doc_id"], dtype=np.int64)
         return pa.table({"dst": node,
                          "contrib": np.zeros(len(node)),
+                         "tp": (1.0 - damping) * weights_of(node) / w_total,
                          "_b2": node % num_buckets})
 
     zeros = docs.map_batches(zero_seed, batch_format="pyarrow").materialize()
@@ -174,7 +198,7 @@ def pagerank(docs, n_nodes: int, *, iters: int = 5, damping: float = 0.85,
     def init_ranks(b: pa.Table) -> pa.Table:
         node = np.asarray(b["doc_id"], dtype=np.int64)
         return pa.table({"node": node,
-                         "pr": np.full(len(node), 1.0 / n_nodes)})
+                         "pr": weights_of(node) / w_total})
 
     ranks = docs.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
@@ -201,15 +225,16 @@ def pagerank(docs, n_nodes: int, *, iters: int = 5, damping: float = 0.85,
         # arrow out: the union partner (zero seed) is an arrow dataset
         return pa.table({"dst": out["dst"].to_numpy(dtype=np.int64),
                          "contrib": out["contrib"].to_numpy(),
+                         "tp": np.zeros(len(out)),
                          "_b2": out["dst"].to_numpy(dtype=np.int64)
                          % num_buckets})
 
-    teleport = (1.0 - damping) / n_nodes
-
     def finalize(df: pd.DataFrame) -> pa.Table:
-        s = df.groupby("dst", as_index=False)["contrib"].sum()
+        s = df.groupby("dst", as_index=False).agg(
+            contrib=("contrib", "sum"), tp=("tp", "sum"))
         return pa.table({"node": s["dst"].to_numpy(dtype=np.int64),
-                         "pr": teleport + damping * s["contrib"].to_numpy()})
+                         "pr": s["tp"].to_numpy()
+                         + damping * s["contrib"].to_numpy()})
 
     for _ in range(iters):
         both = ranks.map_batches(tag_ranks,

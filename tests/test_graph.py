@@ -91,3 +91,31 @@ def test_synth_edges_dataset_matches_kernel(docs):
     ref = pd.DataFrame({"src": src, "dst": dst}).sort_values(
         ["src", "dst"], ignore_index=True)
     pd.testing.assert_frame_equal(df, ref)
+
+
+def test_personalized_pagerank_mass_on_seeds(docs):
+    # all teleport mass on nodes 0 and 60 -> dense numpy reference
+    def tw(ids):
+        return ((ids == 0) | (ids == 60)).astype(np.float64)
+
+    src, dst, w = _dense_edges()
+    tp = tw(np.arange(N, dtype=np.int64))
+    tp = tp / tp.sum()
+    pr_ref = tp.copy()
+    for _ in range(5):
+        nxt = np.zeros(N)
+        np.add.at(nxt, dst, pr_ref[src] * w)
+        pr_ref = 0.15 * tp + 0.85 * nxt
+    out = pagerank(docs, N, iters=5, damping=0.85, round_decimals=None,
+                   teleport_weights=tw).to_pandas().sort_values(
+        "node", ignore_index=True)
+    np.testing.assert_allclose(out["pr"].to_numpy(), pr_ref,
+                               rtol=1e-12, atol=1e-18)
+    # seeds dominate: both seeds in the top ranks
+    top = out.sort_values("pr", ascending=False).head(5).node.tolist()
+    assert 0 in top and 60 in top
+
+
+def test_personalized_all_zero_weights_raises(docs):
+    with pytest.raises(ValueError, match="zero"):
+        pagerank(docs, N, teleport_weights=lambda i: np.zeros(len(i)))
