@@ -3703,6 +3703,52 @@ FROM d GROUP BY user_id
 """
 
 
+def q_click_attribution(sf_dir: str):
+    """Keyed as-of with tolerance: for each purchase, the same user's
+    most recent click within 1 hour (tie: max click event_id); absent
+    attribution coalesces to -1 in both engines."""
+    from ..stages.asof import keyed_asof_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                               "event_type"])
+
+    def typed(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.equal(b["event_type"], t)).drop_columns(
+                ["event_type"])
+        return f
+
+    purchases = ev.map_batches(typed("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow")
+    joined = keyed_asof_join(purchases, clicks, "user_id", "ts",
+                             tolerance_us=3_600_000_000, tie_col="event_id",
+                             payload_cols=[])
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": df["event_id"].astype(np.int64),
+            "user_id": df["user_id"].astype(np.int64),
+            "click_id": df["event_id_r"].fillna(-1).astype(np.int64)})
+        return out
+
+    return joined.map_batches(tidy, batch_format="pandas")
+
+
+SQL_CLICK_ATTRIBUTION = """
+WITH p AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       coalesce(a.event_id, -1) AS click_id
+FROM p LEFT JOIN LATERAL (
+    SELECT c.event_id FROM c
+    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL 1 HOUR
+    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) a ON TRUE
+"""
+
+
 def q_track_simplify(sf_dir: str):
     """Douglas-Peucker simplification of per-user geotagged tracks
     (eps 15 deg on the plate-carree plane). Rows-only (the recursive
@@ -3965,6 +4011,7 @@ def queries() -> dict:
         "raster_resample": q_raster_resample,
         "track_lengths": q_track_lengths,
         "track_simplify": q_track_simplify,
+        "click_attribution": q_click_attribution,
     }
 
 
@@ -4070,4 +4117,5 @@ def oracle_sql() -> dict:
         "sequence_gaps": SQL_SEQUENCE_GAPS,
         "raster_resample": SQL_RASTER_RESAMPLE,
         "track_lengths": SQL_TRACK_LENGTHS,
+        "click_attribution": SQL_CLICK_ATTRIBUTION,
     }

@@ -70,3 +70,80 @@ def asof_join(ds, right_ts: np.ndarray, right_payload: dict[str, np.ndarray],
     return ds.map_batches(AsofJoin, batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=0.5,
                           fn_constructor_args=(ref, on, direction, suffix))
+
+
+def keyed_asof_join(left, right, key: str, ts_col: str, *,
+                    tolerance_us: int | None = None,
+                    tie_col: str, payload_cols: list[str],
+                    suffix: str = "_r", num_buckets: int = 32):
+    """As-of join where BOTH sides are large: for each left row, the
+    right row of the SAME key with the greatest ``(ts, tie_col) <=
+    (left ts, +inf)`` within ``tolerance_us`` (attribution pattern:
+    purchase -> most recent click within the window).
+
+    One keyed exchange co-locates both sides per bucket (hash_join
+    shape); inside a bucket ONE combined sort by (key, ts, side, tie)
+    with rights before lefts at equal ts, then a single global
+    ``maximum.accumulate`` over right positions — per-key resets are
+    unnecessary because a stale match from a previous key is detected
+    by comparing the matched row's key (all vectorized, no per-key
+    Python). Tie among equal-ts rights resolves to the max ``tie_col``
+    in BOTH engines (the oracle orders ``ts DESC, tie DESC LIMIT 1``).
+    """
+    import pandas as pd
+
+    from ..aggregate.relational import _key_bucket
+    from ..util import pin_for_shuffle
+
+    lcols = [c for c in left.schema().names]
+    rcols = [key, ts_col, tie_col] + [c for c in payload_cols
+                                      if c not in (key, ts_col, tie_col)]
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side: int, cols: list[str]):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[cols].copy()
+            for c in all_cols:        # pad: union needs one schema
+                if c not in out.columns:
+                    out[c] = np.nan
+            out = out[all_cols]
+            out["_side"] = np.int8(side)
+            out["_bucket"] = _key_bucket(df, [key], num_buckets)
+            return out
+        return f
+
+    lt = left.map_batches(tag(1, lcols), batch_format="pandas")
+    rt = right.map_batches(tag(0, rcols), batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"]).sort_values(
+            [key, ts_col, "_side", tie_col],
+            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        side = df["_side"].to_numpy()
+        is_r = side == 0
+        rpos = np.where(is_r, np.arange(n), -1)
+        last_r = np.maximum.accumulate(rpos)
+        k = df[key].to_numpy()
+        ts = df[ts_col].to_numpy()
+        lmask = ~is_r
+        match = last_r[lmask]
+        ok = match >= 0
+        mc = np.clip(match, 0, n - 1)
+        ok &= (k[mc] == k[lmask])
+        if tolerance_us is not None:
+            dt = (ts[lmask].astype("datetime64[us]").astype(np.int64)
+                  - ts[mc].astype("datetime64[us]").astype(np.int64))
+            ok &= dt <= tolerance_us
+        out = df.loc[lmask, lcols].reset_index(drop=True)
+        for c in [tie_col] + [p for p in payload_cols
+                              if p not in (key, ts_col, tie_col)]:
+            vals = df[c].to_numpy()[mc]
+            name = c + suffix if c in lcols else c
+            s = pd.Series(vals).where(pd.Series(ok))
+            out[name] = s.to_numpy()
+        return out
+
+    both = pin_for_shuffle(lt.union(rt))
+    return both.groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pandas")

@@ -96,3 +96,30 @@ def test_cohort_retention_counts(ray_session):
     assert out[(c1, 0)] == 1 and out[(c1, 1)] == 1
     assert out[(c2, 0)] == 1
     assert len(out) == 6
+
+
+def test_keyed_asof_tolerance_and_ties(ray_session):
+    from raster_processor_ray.stages.asof import keyed_asof_join
+    base = pd.to_datetime("2024-01-01")
+    s = lambda x: base + pd.Timedelta(seconds=x)
+    left = pd.DataFrame({          # purchases
+        "event_id": [100, 101, 102, 103],
+        "user_id": [1, 1, 2, 3],
+        "ts": [s(50), s(400), s(60), s(10)],
+    })
+    right = pd.DataFrame({         # clicks
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 2, 2],
+        # user 1: clicks at 40 and a TIE pair at 45; user 2: click too old
+        "ts": [s(40), s(45), s(45), s(-400), s(59)],
+    })
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    out = keyed_asof_join(lds, rds, "user_id", "ts", tolerance_us=300_000_000,
+                          tie_col="event_id", payload_cols=[],
+                          num_buckets=2).to_pandas()
+    got = out.set_index("event_id")["event_id_r"]
+    assert got[100] == 3          # tie at s(45) -> max event_id wins
+    assert np.isnan(got[101])     # 400 - 45 > 300s tolerance
+    assert got[102] == 5          # s(59) <= s(60), within tolerance
+    assert np.isnan(got[103])     # user 3 has no clicks
