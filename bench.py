@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "tile_pyramid", "focal_mean", "minhash_probe", "data_quality",
     "pq_top5", "nation_names", "sequence_gaps", "ivf_pq_top5",
     "raster_resample", "track_lengths", "track_simplify",
-    "pagerank_personalized", "click_attribution",
+    "pagerank_personalized", "click_attribution", "label_centroids",
 ]
 
 

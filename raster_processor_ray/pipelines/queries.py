@@ -3518,6 +3518,51 @@ SELECT v + 1 AS gap_start, nxt - 1 AS gap_end FROM l WHERE nxt > v + 1
 """
 
 
+# --- grouped vector centroids ----------------------------------------------
+
+def q_label_centroids(sf_dir: str):
+    """Mean embedding per label, long form (label, dim, mean_val):
+    map-side per-label vector sums (one 64-float partial row per label
+    per block), one small keyed exchange bounded by the LABEL
+    cardinality (a classification label — bounded by assumption, unlike
+    user/doc keys), means exploded at finalize."""
+    from ..stages.ann import _as_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        m = _as_matrix(b["embedding"]).astype(np.float64)
+        lab = np.asarray(b["label"], dtype=np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        return pa.table({"label": uniq,
+                         "vsum": pa.array(list(sums)),
+                         "n": np.bincount(inv).astype(np.int64)})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        label = int(df["label"].iloc[0])
+        total = np.sum(np.stack(df["vsum"].to_numpy()), axis=0)
+        mean = np.round(total / df["n"].sum(), 6)
+        return pd.DataFrame({"label": np.full(len(mean), label,
+                                              dtype=np.int64),
+                             "dim": np.arange(len(mean), dtype=np.int64),
+                             "mean_val": mean})
+
+    from ..util import pin_for_shuffle
+    parts = pin_for_shuffle(ds.map_batches(partials, batch_format="pyarrow"))
+    return parts.groupby("label").map_groups(combine, batch_format="pandas")
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, dim, round(avg(val), 6) AS mean_val
+FROM (SELECT label, unnest(embedding) AS val,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 # --- product-quantized ANN (stages/pq.py) ----------------------------------
 
 def q_ivf_pq_top5(sf_dir: str):
@@ -4012,6 +4057,7 @@ def queries() -> dict:
         "track_lengths": q_track_lengths,
         "track_simplify": q_track_simplify,
         "click_attribution": q_click_attribution,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -4118,4 +4164,5 @@ def oracle_sql() -> dict:
         "raster_resample": SQL_RASTER_RESAMPLE,
         "track_lengths": SQL_TRACK_LENGTHS,
         "click_attribution": SQL_CLICK_ATTRIBUTION,
+        "label_centroids": SQL_LABEL_CENTROIDS,
     }

@@ -61,3 +61,22 @@ def test_expectations_empty(ray_session):
     ]).set_index("rule")
     assert (out["n_violations"] == 0).all()
     assert (out["n_checked"] == 0).all()
+
+
+def test_keyed_asof_empty_sides(ray_session):
+    from raster_processor_ray.stages.asof import keyed_asof_join
+    schema = {"event_id": pa.int64(), "user_id": pa.int64(),
+              "ts": pa.timestamp("us")}
+    full = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us"))}))
+    empty = _empty(schema)
+    # empty right: every left row unmatched
+    out = keyed_asof_join(full, empty, "user_id", "ts", tie_col="event_id",
+                          payload_cols=[], num_buckets=2).to_pandas()
+    assert len(out) == 2 and out["event_id_r"].isna().all()
+    # empty left: no rows out
+    out2 = keyed_asof_join(empty, full, "user_id", "ts", tie_col="event_id",
+                           payload_cols=[], num_buckets=2).to_pandas()
+    assert len(out2) == 0
