@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "pq_top5", "nation_names", "sequence_gaps", "ivf_pq_top5",
     "raster_resample", "track_lengths", "track_simplify",
     "pagerank_personalized", "click_attribution", "label_centroids",
+    "link_components",
 ]
 
 

@@ -3350,6 +3350,54 @@ def q_pagerank_personalized(sf_dir: str):
                     teleport_weights=seeds)
 
 
+def q_link_components(sf_dir: str):
+    """Weakly-connected components of the synthetic link graph:
+    star-contraction CC over the undirected edge set; every doc gets a
+    component label (singletons label themselves)."""
+    from ..stages.cc import connected_components
+    from ..aggregate.relational import hash_join
+
+    docs, n = _graph_docs(sf_dir)
+    from ..stages.graph import synth_edges
+    edges = synth_edges(docs, n)
+
+    def as_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": b["src"], "id_b": b["dst"]})
+
+    labels = connected_components(
+        edges.map_batches(as_pairs, batch_format="pyarrow"),
+        u_col="id_a", v_col="id_b")
+
+    joined = hash_join(docs, labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "comp"]),
+        batch_format="pyarrow"), "doc_id", how="left")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        comp = df["comp"].fillna(df["doc_id"]).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "comp": comp})
+
+    return joined.map_batches(fin, batch_format="pandas")
+
+
+def _sql_link_components() -> str:
+    return f"""
+WITH RECURSIVE base AS ({_graph_edges_cte()}),
+edges AS (SELECT src AS u, dst AS v FROM base
+          UNION SELECT dst, src FROM base),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+  WHERE e.v <> r.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS comp FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def q_triangle_stats(sf_dir: str):
     """Global (n_edges, n_wedges, n_triangles) by min-centered wedge join."""
     from ..stages.graph import triangle_stats
@@ -4041,6 +4089,7 @@ def queries() -> dict:
         "link_degrees": q_link_degrees,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
+        "link_components": q_link_components,
         "triangle_stats": q_triangle_stats,
         "interval_coverage": q_interval_coverage,
         "funnel_counts": q_funnel_counts,
@@ -4152,6 +4201,7 @@ def oracle_sql() -> dict:
         "link_degrees": _sql_link_degrees(),
         "pagerank": _sql_pagerank(),
         "pagerank_personalized": _sql_pagerank_personalized(),
+        "link_components": _sql_link_components(),
         "triangle_stats": _sql_triangle_stats(),
         "interval_coverage": SQL_INTERVAL_COVERAGE,
         "funnel_counts": _sql_funnel(),
