@@ -26,7 +26,9 @@ import pandas as pd
 def heavy_hitters(ds, col: str, k: int, *, out: str = "n",
                   num_buckets: int = 8):
     """Values of ``col`` occurring MORE than ``count(ds) / k`` times,
-    with their exact counts. Returns (col, n) rows.
+    with their exact counts. Returns a pandas (col, n) FRAME — the
+    survivor set is < k rows by the support bound, and a typed frame
+    survives emptiness where a zero-row Dataset drops its schema.
 
     The candidate set is bounded by < k survivors per batch, so it is
     BROADCAST (one ``ray.put``, read per map task) rather than shuffled
@@ -49,9 +51,16 @@ def heavy_hitters(ds, col: str, k: int, *, out: str = "n",
     cand_vals = (pd.unique(cands[col].to_numpy())
                  if col in cands.columns else np.array([]))
     if len(cand_vals) == 0:
-        return ds.limit(0).map_batches(
-            lambda df: df[[col]].assign(**{out: np.array([], dtype=np.int64)}),
-            batch_format="pandas")
+        # typed empty FRAME: zero-row Ray datasets lose their schema
+        # through to_pandas(), so the bounded result is returned as
+        # pandas in both the no-candidate and no-survivor cases
+        import pyarrow as pa
+        sch = ds.schema()
+        ctype = dict(zip(sch.names, sch.types)).get(col, pa.int64())
+        pd_type = (ctype.to_pandas_dtype()
+                   if isinstance(ctype, pa.DataType) else np.int64)
+        return pd.DataFrame({col: pd.Series(dtype=pd_type),
+                             out: pd.Series(dtype=np.int64)})
     import ray
     ref = ray.put(set(cand_vals.tolist()))
 
@@ -67,4 +76,18 @@ def heavy_hitters(ds, col: str, k: int, *, out: str = "n",
     def threshold(df: pd.DataFrame) -> pd.DataFrame:
         return df[df[out].to_numpy() * k > n_total]
 
-    return counts.map_batches(threshold, batch_format="pandas")
+    res = counts.map_batches(threshold, batch_format="pandas")
+    # the survivor set is < k rows by the support bound, so collecting
+    # it is O(k); return the FRAME — a zero-row Ray dataset drops its
+    # schema through to_pandas() (observed at sf0.1 where no part
+    # passes), and the typed empty must survive to the caller
+    out_df = res.to_pandas()
+    if col not in out_df.columns:
+        import pyarrow as pa
+        sch = ds.schema()
+        ctype = dict(zip(sch.names, sch.types)).get(col, pa.int64())
+        pd_type = (ctype.to_pandas_dtype()
+                   if isinstance(ctype, pa.DataType) else np.int64)
+        out_df = pd.DataFrame({col: pd.Series(dtype=pd_type),
+                               out: pd.Series(dtype=np.int64)})
+    return out_df

@@ -66,6 +66,19 @@ def _docs_with_geo(sf_dir: str):
         .map_batches(add, batch_format="pyarrow")
 
 
+def round_half_away(x, decimals: int):
+    """DuckDB-semantics round: scaled half-AWAY-from-zero (NumPy's
+    np.round is half-to-even — the two differ exactly when x*10^d lands
+    on a representable .5, which integer-ratio quotients like
+    sum/(100*count) hit in practice: 24 of 20k groups at sf0.1 in
+    weighted_avg_price). Replicates DuckDB's float path (scale,
+    round-half-away, unscale)."""
+    x = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** decimals
+    v = x * s
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / s
+
+
 def _round_cols(ds_or_df, cols: dict[str, int]):
     def rnd(df: pd.DataFrame) -> pd.DataFrame:
         for c, d in cols.items():
@@ -378,7 +391,11 @@ def q_weighted_avg_price(sf_dir: str):
     })
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["wavg_price"] = (df.sum_pq_c / (100.0 * df.sum_q)).round(6)
+        # round_half_away, not .round: these quotients land exactly on
+        # 7th-decimal halves (denominator 100*int) where the two tie
+        # rules genuinely diverge
+        df["wavg_price"] = round_half_away(
+            df.sum_pq_c / (100.0 * df.sum_q), 6)
         return df[["l_partkey", "wavg_price"]]
 
     return agg.map_batches(fin, batch_format="pandas")

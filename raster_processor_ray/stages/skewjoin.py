@@ -40,7 +40,7 @@ def skew_join(left, right, on: str, *, k: int = 200, suffix: str = "_r",
     from ..util import pin_for_shuffle
 
     left = pin_for_shuffle(left)      # scanned three times below
-    hot = heavy_hitters(left.select_columns([on]), on, k).to_pandas()
+    hot = heavy_hitters(left.select_columns([on]), on, k)
     if len(hot) == 0:
         return hash_join(left, right, on, "inner", suffix=suffix,
                          num_buckets=num_buckets)

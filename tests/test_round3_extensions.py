@@ -170,7 +170,7 @@ def test_heavy_hitters_exact():
     df = pd.DataFrame({"v": vals})
     k = 20  # threshold: > len/20 = 324
     got = heavy_hitters(ray.data.from_pandas(df).repartition(7),
-                        "v", k).to_pandas().set_index("v")
+                        "v", k).set_index("v")
     want = df.v.value_counts()
     want = want[want.to_numpy() * k > len(df)]
     assert set(got.index) == set(want.index)
@@ -183,7 +183,7 @@ def test_heavy_hitters_none():
 
     df = pd.DataFrame({"v": np.arange(1000, dtype=np.int64)})  # all unique
     got = heavy_hitters(ray.data.from_pandas(df).repartition(4),
-                        "v", 10).to_pandas()
+                        "v", 10)
     assert len(got) == 0
 
 
