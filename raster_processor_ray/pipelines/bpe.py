@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 import ray
 
 from .vocab import _as_str, _tokenize_flat
@@ -165,11 +167,12 @@ class _BpeEncode:
 
 def bpe_encode(ds, merges: list[tuple[str, str]], *,
                text_col: str = "text", id_col: str = "doc_id",
-               batch_size: int = 4096, concurrency: int = 4):
+               batch_size: int = 4096, concurrency=None):
     """Encode the corpus with learned merges -> exploded
     (doc_id, pos, piece) rows. One streamed actor-pool pass."""
     mref = ray.put([tuple(m) for m in merges])
     return ds.map_batches(
         _BpeEncode, fn_constructor_args=(mref, text_col, id_col),
         batch_size=batch_size, batch_format="pyarrow",
-        concurrency=concurrency, num_cpus=0.5)
+        concurrency=(actor_pool_size(0.5) if concurrency is None else concurrency),
+        num_cpus=0.5)

@@ -42,6 +42,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 from ..aggregate.rasterize import rasterize
 from ..config import AggConfig, DEFAULT_AGG
 from ..geo import crs
@@ -190,7 +192,7 @@ def height_constrained_points(pts_ds, fine: GridSpec, *, mode: str = "lowres_ras
                               ts_col: str = "ts",
                               nadir_track: tuple[np.ndarray, dict] | None = None,
                               improved_cols: tuple[str, str, str] | None = None,
-                              concurrency: int = 4):
+                              concurrency=None):
     """Phases 1-3: points -> points with ``improved_value`` (+ improved
     ``lat``/``lon`` in mode 'lowres_raster'). See module docstring.
 
@@ -227,7 +229,7 @@ def height_constrained_points(pts_ds, fine: GridSpec, *, mode: str = "lowres_ras
                              lat_col=lat_col, lon_col=lon_col)
     lut_ref = ray.put(lut)
     fed = pts_ds.map_batches(
-        CoarseFeedback, batch_format="pyarrow", concurrency=concurrency,
+        CoarseFeedback, batch_format="pyarrow", concurrency=(actor_pool_size(0.5) if concurrency is None else concurrency),
         num_cpus=0.5,
         fn_constructor_args=(lut_ref, coarse, value_col, lat_col, lon_col))
     if mode == "none":

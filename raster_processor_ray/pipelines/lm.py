@@ -30,6 +30,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..util import actor_pool_size
 import pyarrow.compute as pc
 
 import ray
@@ -133,7 +135,7 @@ class _ScoreLM:
 
 def score_perplexity(ds, model, *, text_col: str = "text",
                      id_col: str = "doc_id", num_buckets: int = 16,
-                     concurrency: int = 4, batch_size: int = 4096):
+                     concurrency=None, batch_size: int = 4096):
     """docs -> (id_col, n_bigrams, avg_nll). Docs with < 2 tokens emit
     no row (no bigrams to score). ``avg_nll`` is mean negative
     log-prob in nats, rounded to 6 (int64 micro-nat sums underneath —
@@ -144,7 +146,8 @@ def score_perplexity(ds, model, *, text_col: str = "text",
     partials = ds.map_batches(
         _ScoreLM, fn_constructor_args=(mref, text_col, id_col),
         batch_size=batch_size, batch_format="pyarrow",
-        concurrency=concurrency, num_cpus=0.5)
+        concurrency=(actor_pool_size(0.5) if concurrency is None else concurrency),
+        num_cpus=0.5)
     # batches can split a doc across actor calls only if the reader
     # splits a block mid-doc — hash_aggregate re-combines partials per
     # doc regardless

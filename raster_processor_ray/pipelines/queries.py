@@ -33,6 +33,7 @@ from ..stages.dedup import exact_dedup, minhash_lsh_candidates, simhash_batch
 from ..stages.knn import knn_join
 from ..stages.pip import PolygonSpec, pip_join
 from ..stages.text import LangId, QualityScore, token_count_batch
+from ..util import actor_pool_size
 
 SQL_LAT = GEOTAG_INT_SQL_LAT.format(id="doc_id", salt=0)
 SQL_LON = GEOTAG_INT_SQL_LON.format(id="doc_id", salt=0)
@@ -1435,7 +1436,7 @@ def q_canonical_docs(sf_dir: str):
                                       threshold=0.6)
     labels = connected_components(pairs, u_col="id_a", v_col="id_b")
     scored = docs.map_batches(QualityScore, batch_format="pandas",
-                              concurrency=2, num_cpus=0.5)
+                              concurrency=actor_pool_size(0.5), num_cpus=0.5)
     labeled = attach_components(
         scored.map_batches(lambda df: df[["doc_id", "quality"]],
                            batch_format="pandas"),
@@ -1472,7 +1473,7 @@ def q_media_decode(sf_dir: str):
         })
 
     decoded = ds.map_batches(to_payload, batch_format="pyarrow")         .map_batches(DecodeImageStub, batch_format="pyarrow", batch_size=512,
-                     concurrency=2, num_cpus=0.5)
+                     concurrency=actor_pool_size(0.5), num_cpus=0.5)
 
     def first_feat(b: pa.Table) -> pa.Table:
         feats = b["img_features"]
@@ -1491,15 +1492,16 @@ def q_media_decode(sf_dir: str):
 
 def q_langid(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    out = ds.map_batches(LangId, batch_format="pandas",
+                         concurrency=actor_pool_size(0.5), num_cpus=0.5)
     return out.map_batches(lambda df: df[["doc_id", "lang_pred", "lang_score"]],
                            batch_format="pandas")
 
 
 def q_quality(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2,
-                         num_cpus=0.5)
+    out = ds.map_batches(QualityScore, batch_format="pandas",
+                         concurrency=actor_pool_size(0.5), num_cpus=0.5)
     return out.map_batches(
         lambda df: df[["doc_id", "n_words", "stop_ratio", "quality"]],
         batch_format="pandas")
@@ -2752,7 +2754,7 @@ def q_bpe_top_pieces(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     merges = train_bpe(docs, num_merges=30)
-    enc = bpe_encode(docs, merges, concurrency=2)
+    enc = bpe_encode(docs, merges)
     counts = hash_aggregate(enc, "piece", {"n": (None, "count")},
                             num_buckets=4)
     return topk(counts, "n", 50, descending=True, tie_col="piece")
@@ -2872,7 +2874,7 @@ def q_lm_perplexity(sf_dir: str):
     train = docs.map_batches(side(True), batch_format="pyarrow")
     rest = docs.map_batches(side(False), batch_format="pyarrow")
     model = train_bigram_lm(train)
-    return score_perplexity(rest, model, concurrency=2)
+    return score_perplexity(rest, model)
 
 
 SQL_LM_PERPLEXITY = """
@@ -2920,7 +2922,7 @@ def q_pack_sequences(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     vocab = build_vocab(ds, size=200)
-    enc = encode_tokens(ds, vocab, concurrency=2)
+    enc = encode_tokens(ds, vocab)
     return pack_sequences(enc, seq_len=128, eos_id=200)
 
 
@@ -3994,7 +3996,79 @@ GROUP BY 1, 2
 
 
 def queries() -> dict:
+    """Registry order is deliberate: the driver's CORRECTNESS gate checks the
+    FIRST 50 entries, so positions 1-50 are oracle-backed queries that had not
+    yet been driver-verified through round 3 (the LLM/text, graph, temporal,
+    focal-raster and relational-stats families), positions 51-63 the remaining
+    not-yet-driver-verified oracle-backed entries, then the 40 entries already
+    green in CORRECTNESS_r03.json, then the rows-only (no-oracle) entries."""
     return {
+        # -- 1-50: oracle-backed, never driver-verified before round 4 --
+        "langid": q_langid,
+        "quality": q_quality,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
+        "url_domains": q_url_domains,
+        "pii_scrub": q_pii_scrub,
+        "para_dedup": q_para_dedup,
+        "bm25_search": q_bm25_search,
+        "lm_perplexity": q_lm_perplexity,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "group_split": q_group_split,
+        "hybrid_search": q_hybrid_search,
+        "shuffle_shards": q_shuffle_shards,
+        "dup_spans": q_dup_spans,
+        "extract_roundtrip": q_extract_roundtrip,
+        "crawl_diff": q_crawl_diff,
+        "vocab_encode": q_vocab_encode,
+        "lang_sample": q_lang_sample,
+        "doc_keywords": q_doc_keywords,
+        "top_terms": q_top_terms,
+        "docs_lang_enriched": q_docs_lang_enriched,
+        "quality_filtered_counts": q_quality_filtered_counts,
+        "name_edit_pairs": q_name_edit_pairs,
+        "link_degrees": q_link_degrees,
+        "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
+        "link_components": q_link_components,
+        "triangle_stats": q_triangle_stats,
+        "interval_coverage": q_interval_coverage,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
+        "click_attribution": q_click_attribution,
+        "data_quality": q_data_quality,
+        "sequence_gaps": q_sequence_gaps,
+        "nation_names": q_nation_names,
+        "tile_pyramid": q_tile_pyramid,
+        "focal_mean": q_focal_mean,
+        "raster_resample": q_raster_resample,
+        "splat_gaussian": q_splat_gaussian,
+        "splat_idw": q_splat_idw,
+        "raster_regions": q_raster_regions,
+        "pip_zonal": q_pip_zonal,
+        "tile_error_report": q_tile_error_report,
+        "label_centroids": q_label_centroids,
+        "rollup_pricing": q_rollup_pricing,
+        "cube_pricing": q_cube_pricing,
+        "nation_balance_full": q_nation_balance_full,
+        "price_stats": q_price_stats,
+        "events_profile": q_events_profile,
+        # -- 51-63: remaining oracle-backed, not yet driver-verified --
+        "radius_join_sites": q_radius_join,
+        "event_deltas": q_event_deltas,
+        "zorder_keys": q_zorder_keys,
+        "pivot_lang": q_pivot_lang,
+        "parts_intersect": q_parts_intersect,
+        "event_quartiles": q_event_quartiles,
+        "heavy_parts": q_heavy_parts,
+        "user_cumsum": q_user_cumsum,
+        "props_stats": q_props_stats,
+        "user_rolling": q_user_rolling,
+        "lineitem_ranks": q_lineitem_ranks,
+        "embed_dim_stats": q_embed_dim_stats,
+        "track_lengths": q_track_lengths,
+        # -- oracle-backed, green in CORRECTNESS_r03.json --
         "tile_count_mean": q_tile_count_mean,
         "tile_weighted_mean": q_tile_weighted_mean,
         "hex_cells": q_hex_cells,
@@ -4020,7 +4094,6 @@ def queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "value_quantiles_cont": q_value_quantiles_cont,
         "distinct_users": q_distinct_users,
-        "hll_users": q_hll_users,
         "bloom_filter_orders": q_bloom_filter_orders,
         "orders_anti_join": q_orders_anti_join,
         "top_orders_by_priority": q_top_orders_by_priority,
@@ -4031,99 +4104,39 @@ def queries() -> dict:
         "join_orders_customers": q_join_orders_customers,
         "subsample_docs": q_subsample_docs,
         "stratified_sample": q_stratified_sample,
+        "geoloc_refined": q_geoloc_refined,
+        "wse_corrections": q_wse_corrections,
+        "region_map": q_region_map,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_cc": q_dedup_cc,
+        # -- rows-only entries (no SQL oracle: sketch/ANN/side-effecting/
+        #    non-SQL-expressible), each pinned by golden/property tests --
+        "hll_users": q_hll_users,
         "embed_near_dup": q_embed_near_dup,
         "embed_dedup": q_embed_dedup,
         "rasterize_samples": q_rasterize_samples,
-        "geoloc_refined": q_geoloc_refined,
         "geoloc_refined_full": q_geoloc_refined_full,
-        "wse_corrections": q_wse_corrections,
         "minhash_verified": q_minhash_verified,
-        "region_map": q_region_map,
         "utm_raster": q_utm_raster,
         "dense_tiles": q_dense_tiles,
         "gap_flags": q_gap_flags,
         "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_cc": q_dedup_cc,
         "minhash_dedup": q_minhash_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
-        "langid": q_langid,
         "media_decode": q_media_decode,
-        "quality": q_quality,
         "flagship_tiles": q_flagship_tiles,
-        "tile_error_report": q_tile_error_report,
-        "radius_join_sites": q_radius_join,
-        "pip_zonal": q_pip_zonal,
-        "event_deltas": q_event_deltas,
-        "rollup_pricing": q_rollup_pricing,
-        "top_terms": q_top_terms,
-        "zorder_keys": q_zorder_keys,
-        "raster_regions": q_raster_regions,
-        "pivot_lang": q_pivot_lang,
-        "parts_intersect": q_parts_intersect,
-        "event_quartiles": q_event_quartiles,
-        "splat_gaussian": q_splat_gaussian,
-        "splat_idw": q_splat_idw,
-        "heavy_parts": q_heavy_parts,
-        "user_cumsum": q_user_cumsum,
-        "props_stats": q_props_stats,
-        "events_profile": q_events_profile,
-        "price_stats": q_price_stats,
-        "user_rolling": q_user_rolling,
-        "lineitem_ranks": q_lineitem_ranks,
-        "nation_balance_full": q_nation_balance_full,
-        "vocab_encode": q_vocab_encode,
-        "lang_sample": q_lang_sample,
-        "cube_pricing": q_cube_pricing,
-        "doc_keywords": q_doc_keywords,
-        "name_edit_pairs": q_name_edit_pairs,
-        "kmeans_clusters": q_kmeans_clusters,
-        "embed_dim_stats": q_embed_dim_stats,
-        "pca_coords": q_pca_coords,
-        "docs_lang_enriched": q_docs_lang_enriched,
-        "quality_filtered_counts": q_quality_filtered_counts,
-        "repetition_stats": q_repetition_stats,
-        "decontam_overlap": q_decontam_overlap,
-        "url_domains": q_url_domains,
         "bpe_top_pieces": q_bpe_top_pieces,
-        "pii_scrub": q_pii_scrub,
-        "para_dedup": q_para_dedup,
-        "bm25_search": q_bm25_search,
-        "lm_perplexity": q_lm_perplexity,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "group_split": q_group_split,
-        "hybrid_search": q_hybrid_search,
         "corpus_upsert": q_corpus_upsert,
-        "shuffle_shards": q_shuffle_shards,
-        "dup_spans": q_dup_spans,
-        "extract_roundtrip": q_extract_roundtrip,
-        "crawl_diff": q_crawl_diff,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "approx_quantiles": q_approx_quantiles,
         "canonical_docs": q_canonical_docs,
-        "link_degrees": q_link_degrees,
-        "pagerank": q_pagerank,
-        "pagerank_personalized": q_pagerank_personalized,
-        "link_components": q_link_components,
-        "triangle_stats": q_triangle_stats,
-        "interval_coverage": q_interval_coverage,
-        "funnel_counts": q_funnel_counts,
-        "cohort_retention": q_cohort_retention,
-        "tile_pyramid": q_tile_pyramid,
-        "focal_mean": q_focal_mean,
         "minhash_probe": q_minhash_probe,
-        "data_quality": q_data_quality,
         "pq_top5": q_pq_top5,
-        "nation_names": q_nation_names,
-        "sequence_gaps": q_sequence_gaps,
         "ivf_pq_top5": q_ivf_pq_top5,
-        "raster_resample": q_raster_resample,
-        "track_lengths": q_track_lengths,
+        "kmeans_clusters": q_kmeans_clusters,
+        "pca_coords": q_pca_coords,
         "track_simplify": q_track_simplify,
-        "click_attribution": q_click_attribution,
-        "label_centroids": q_label_centroids,
     }
 
 

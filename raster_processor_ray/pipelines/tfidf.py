@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 from .vocab import _as_str, _tokenize_flat, build_vocab
 
 
@@ -83,7 +85,7 @@ class _Score:
 
 def doc_top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
                   vocab_size: int = 200, k: int = 3,
-                  batch_size: int = 4096, concurrency: int = 4):
+                  batch_size: int = 4096, concurrency=None):
     """Top-``k`` (tfidf DESC, tok ASC) vocabulary terms per document.
     ASSUMES one complete document per input row (true for the documents
     table), which makes per-doc ranking batch-local."""
@@ -98,6 +100,8 @@ def doc_top_tfidf(ds, *, text_col: str = "text", id_col: str = "doc_id",
     ref = ray.put({"tok": vocab["tok"].to_numpy(dtype=object)[ok],
                    "idf": idf[ok]})
     return ds.map_batches(_Score, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
+                          batch_size=batch_size,
+                          concurrency=(actor_pool_size(0.5)
+                                       if concurrency is None else concurrency),
                           num_cpus=0.5,
                           fn_constructor_args=(ref, text_col, id_col, k))

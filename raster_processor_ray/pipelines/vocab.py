@@ -29,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..util import actor_pool_size
 import pyarrow.compute as pc
 
 
@@ -108,7 +110,7 @@ class _Encode:
 
 def encode_tokens(ds, vocab: pd.DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", batch_size: int = 4096,
-                  concurrency: int = 4):
+                  concurrency=None):
     """Exploded integer encoding (doc_id, pos, token_id) of every
     in-vocabulary token occurrence. Vocab is ray.put ONCE and read from
     the object store by each worker process, never re-shipped per batch."""
@@ -117,6 +119,8 @@ def encode_tokens(ds, vocab: pd.DataFrame, *, text_col: str = "text",
     ref = ray.put({"tok": vocab["tok"].to_numpy(dtype=object),
                    "token_id": vocab["token_id"].to_numpy(dtype=np.int64)})
     return ds.map_batches(_Encode, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
+                          batch_size=batch_size,
+                          concurrency=(actor_pool_size(0.5)
+                                       if concurrency is None else concurrency),
                           num_cpus=0.5,
                           fn_constructor_args=(ref, text_col, id_col))

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 
 def _as_matrix(col) -> np.ndarray:
     """list<float> arrow column -> (n, d) float64 matrix (zero-copy-ish).
@@ -86,15 +88,15 @@ def combine_topk(df: pd.DataFrame, k: int, id_col: str = "vec_id") -> pd.DataFra
 
 
 def cosine_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding",
-                id_col: str = "vec_id", batch_size: int = 4096, concurrency=2):
+                id_col: str = "vec_id", batch_size: int = 4096, concurrency=None):
     """Exact brute-force cosine top-k of ``queries`` against the dataset."""
     import ray
 
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, num_cpus=0.5,
                   fn_constructor_args=(qref, k, vec_col, id_col))
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    kwargs["concurrency"] = (actor_pool_size(0.5) if concurrency is None
+                             else concurrency)
     from ..util import pin_for_shuffle
 
     partials = pin_for_shuffle(ds.map_batches(CosineTopK, **kwargs))
@@ -221,7 +223,8 @@ def cosine_near_dup_pairs(ds, *, vec_col: str = "embedding", id_col: str = "vec_
     from ..util import pin_for_shuffle
 
     candidates = (pin_for_shuffle(ds.map_batches(Signature, batch_format="pyarrow",
-                                                 concurrency=2, num_cpus=0.5))
+                                                 concurrency=actor_pool_size(0.5),
+                                                 num_cpus=0.5))
                   .groupby("_bucket")
                   .map_groups(emit_bucket, batch_format="pandas"))
     # vector re-attach: each side of the docs table shuffles ONCE against
@@ -275,7 +278,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, vec_col: str = "embedding"
     cents = ivf_build_centroids(ds, vec_col=vec_col, num_centroids=num_centroids)
     cref = ray.put(cents)
     assigned = ds.map_batches(IvfAssign, fn_constructor_args=(cref, vec_col),
-                              batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+                              batch_format="pyarrow",
+                              concurrency=actor_pool_size(0.5), num_cpus=0.5)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]       # (Q, nprobe)
     wanted = np.unique(probe)
@@ -306,8 +310,8 @@ def ivf_build_index(ds, out_dir: str, *, vec_col: str = "embedding",
     import ray
     cref = ray.put(cents)
     assigned = ds.map_batches(IvfAssign, fn_constructor_args=(cref, vec_col),
-                              batch_format="pyarrow", concurrency=2,
-                              num_cpus=0.5)
+                              batch_format="pyarrow",
+                              concurrency=actor_pool_size(0.5), num_cpus=0.5)
 
     # pack vectors to bytes for a byte-stable parquet layout (and to halve
     # storage vs float64 lists); unpacked on read

@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 
 class AsofIndex:
     """Sorted small-side arrays: join timestamps + payload columns."""
@@ -62,13 +64,15 @@ class AsofJoin:
 
 def asof_join(ds, right_ts: np.ndarray, right_payload: dict[str, np.ndarray],
               on: str, direction: str = "backward", *, suffix: str = "_r",
-              batch_size: int = 65536, concurrency: int = 2):
+              batch_size: int = 65536, concurrency=None):
     """Broadcast as-of join of ``ds[on]`` against a small sorted side."""
     import ray
 
     ref = ray.put(AsofIndex(np.asarray(right_ts), right_payload))
     return ds.map_batches(AsofJoin, batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=0.5,
+                          concurrency=(actor_pool_size(0.5)
+                                       if concurrency is None else concurrency),
+                          num_cpus=0.5,
                           fn_constructor_args=(ref, on, direction, suffix))
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 from .. import config as C
 from ..geo import crs
 from ..geo.cells import GridSpec
@@ -129,4 +131,4 @@ def flag_gap_cells(cells_ds, grid: GridSpec, track_lat: np.ndarray,
             return out.append_column("qual_bitwise", pa.array(bits))
 
     return cells_ds.map_batches(FlagCells, batch_format="pyarrow",
-                                concurrency=2, num_cpus=0.5)
+                                concurrency=actor_pool_size(0.5), num_cpus=0.5)

@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 from ..geo.cells import latlon_to_xyz
 
 EARTH_R = 6371008.8
@@ -300,22 +302,22 @@ class KnnJoin:
 
 
 def knn_join(ds, site_ids, lats, lons, k: int = 3, *, lat_col: str = "lat",
-             lon_col: str = "lon", concurrency=2, batch_size: int = 8192):
+             lon_col: str = "lon", concurrency=None, batch_size: int = 8192):
     """Attach the broadcast kNN join to a Dataset."""
     import ray
 
     index_ref = ray.put(KnnIndex(np.asarray(site_ids), np.asarray(lats), np.asarray(lons)))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, num_cpus=0.5,
                   fn_constructor_args=(index_ref, k, lat_col, lon_col))
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    kwargs["concurrency"] = (actor_pool_size(0.5) if concurrency is None
+                             else concurrency)
     return ds.map_batches(KnnJoin, **kwargs)
 
 
 def knn_join_bucketed(ds, site_ids, lats, lons, k: int = 3, *,
                       lat_col: str = "lat", lon_col: str = "lon",
                       cell_deg: float | None = None, probe_ring: int = 1,
-                      concurrency=2, batch_size: int = 8192):
+                      concurrency=None, batch_size: int = 8192):
     """Exact kNN join through the cell-prefiltered :class:`KnnGridIndex`:
     per-point matmul cost scales with LOCAL site density (probed ring)
     instead of the whole site table; unverifiable points fall back to
@@ -328,8 +330,8 @@ def knn_join_bucketed(ds, site_ids, lats, lons, k: int = 3, *,
                                      probe_ring=probe_ring))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, num_cpus=0.5,
                   fn_constructor_args=(index_ref, k, lat_col, lon_col))
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    kwargs["concurrency"] = (actor_pool_size(0.5) if concurrency is None
+                             else concurrency)
     return ds.map_batches(KnnJoin, **kwargs)
 
 

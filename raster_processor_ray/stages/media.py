@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 from ..geo.hashing import splitmix64
 
 
@@ -97,11 +99,12 @@ class FrameSampleStub:
         return out.append_column("frame_no", pa.array(frame_no))
 
 
-def media_pipeline(ds, *, binary_col: str = "payload", concurrency: int = 4,
+def media_pipeline(ds, *, binary_col: str = "payload", concurrency=None,
                    batch_size: int = 64):
     """Reference wiring for a media stage: small batches (binary payloads
     dominate memory), actor pool, arrow batches end-to-end."""
     return ds.map_batches(
         DecodeImageStub, fn_constructor_args=(binary_col, False),
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(actor_pool_size(0.5) if concurrency is None else concurrency),
         num_cpus=0.5)

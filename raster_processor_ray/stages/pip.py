@@ -35,6 +35,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 
 @dataclass
 class PolygonSpec:
@@ -168,7 +170,7 @@ class PipJoin:
 
 
 def pip_join(ds, polygons: list[PolygonSpec] | PolygonIndex, how: str = "inner",
-             *, lat_col: str = "lat", lon_col: str = "lon", concurrency=2,
+             *, lat_col: str = "lat", lon_col: str = "lon", concurrency=None,
              batch_size: int = 8192):
     """Attach the broadcast PIP join to a Dataset."""
     import ray
@@ -177,6 +179,6 @@ def pip_join(ds, polygons: list[PolygonSpec] | PolygonIndex, how: str = "inner",
     index_ref = ray.put(index)
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size, num_cpus=0.5,
                   fn_constructor_args=(index_ref, how, lat_col, lon_col))
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    kwargs["concurrency"] = (actor_pool_size(0.5) if concurrency is None
+                             else concurrency)
     return ds.map_batches(PipJoin, **kwargs)

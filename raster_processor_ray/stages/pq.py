@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import actor_pool_size
+
 from .ann import _as_matrix
 
 
@@ -87,7 +89,7 @@ def pq_encode(ds, books: np.ndarray, *, vec_col: str = "embedding",
     ref = ray.put(np.asarray(books, dtype=np.float64))
     return ds.map_batches(PqEncode, fn_constructor_args=(ref, vec_col, id_col),
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=2, num_cpus=0.5)
+                          concurrency=actor_pool_size(0.5), num_cpus=0.5)
 
 
 class PqAdcTopK:
@@ -158,7 +160,7 @@ def pq_topk(codes_ds, books: np.ndarray, queries: np.ndarray, k: int = 10, *,
     partials = pin_for_shuffle(codes_ds.map_batches(
         PqAdcTopK, fn_constructor_args=(bref, qref, k, id_col),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=2, num_cpus=0.5))
+        concurrency=actor_pool_size(0.5), num_cpus=0.5))
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["query_id", "adc_dist", id_col],
@@ -241,7 +243,7 @@ def ivf_pq_build_index(ds, out_dir: str, *, vec_col: str = "embedding",
     cref, bref = ray.put(cents), ray.put(books)
     encoded = ds.map_batches(
         IvfPqEncode, fn_constructor_args=(cref, bref, vec_col, id_col),
-        batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        batch_format="pyarrow", concurrency=actor_pool_size(0.5), num_cpus=0.5)
     lineage.write_resumable(encoded, out_dir, key_col="ivf_bucket",
                             num_shards=num_centroids,
                             input_fingerprint=input_fingerprint)
