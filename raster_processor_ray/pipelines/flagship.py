@@ -292,13 +292,48 @@ def _cached_enricher(grid: GridSpec, poly_ref, knn_ref, knn_refine: int):
     return enr
 
 
+class _TreeFold:
+    """Streaming multi-level tree fan-in over Ray object refs for ONE
+    shard: level i buffers at most ``fanin`` refs; when full they fold
+    into one ref at level i+1 via the supplied remote. Driver-held refs
+    for a shard stay <= fanin * ceil(log_fanin(B)) no matter how many
+    leaf parts (B) stream in — the scale fix for the old driver-resident
+    B x S fan-out (reference analog: the chunks-per-worker heuristic it
+    replaces, raster_proc.py:713-716)."""
+
+    def __init__(self, fold_remote, shard: int, fanin: int):
+        if fanin < 2:
+            raise ValueError("fanin must be >= 2")
+        self.fold = fold_remote
+        self.shard = shard
+        self.fanin = fanin
+        self.levels: list[list] = [[]]
+        self.max_refs = 0          # peak driver-held refs (for tests)
+
+    def push(self, ref, lvl: int = 0) -> None:
+        while len(self.levels) <= lvl:
+            self.levels.append([])
+        level = self.levels[lvl]
+        level.append(ref)
+        self.max_refs = max(self.max_refs,
+                            sum(len(x) for x in self.levels))
+        if len(level) >= self.fanin:
+            folded = self.fold.remote(self.shard, *level)
+            level.clear()
+            self.push(folded, lvl + 1)
+
+    def drain(self) -> list:
+        """Remaining refs across all levels (<= fanin per level)."""
+        return [r for level in self.levels for r in level]
+
+
 def run_flagship_full(pages_path_or_ds, out_dir: str, *,
                       grid: GridSpec = GLOBAL_GEO_GRID,
                       cfg: AggConfig = DEFAULT_AGG, num_out_shards: int = 64,
                       read_blocks: int | None = None, knn_sites: int = 1000,
                       knn_refine: int = 12, enrich_concurrency: int | None = None,
                       enrich_batch_size: int | None = None,
-                      enrich_chunk_rows: int = 8192):
+                      enrich_chunk_rows: int = 8192, fold_fanin: int = 16):
     # NOTE on enrich_concurrency: a concurrency cap turns the enrich
     # map_batches into its own operator — Ray will NOT fuse it with
     # ReadParquet, so every decompressed input block round-trips the
@@ -500,17 +535,64 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         tabs = [p for p in parts if p.num_rows]
         if not tabs:
             return None
-        return combine_finalize_write(shard, pa.concat_tables(tabs))
+        return combine_finalize_write(
+            shard, pa.concat_tables(tabs, promote_options="permissive"))
 
-    per_shard: list[list] = [[] for _ in range(nb)]
+    @ray.remote
+    def fold_parts(shard: int, *parts):
+        """Tree fan-in step: CONCAT + COMBINE a group of a shard's partial
+        slices into one bounded partial table. The raster partials re-sum
+        per cell (associative, same columns) and the zonal (cell, site)
+        list pairs re-sum per pair, so a fold's output is bounded by the
+        shard's distinct cell count — it does NOT grow with how many leaf
+        blocks fed it. int64 list children here (leaf lists are int32,
+        bounded per-batch; fold sums have no such bound)."""
+        tabs = [p for p in parts if p.num_rows]
+        if not tabs:
+            return parts[0].slice(0, 0)
+        t = pa.concat_tables(tabs, promote_options="permissive")
+        combined = combine_partials_df(
+            t.drop_columns(["_bucket", "site_ids", "site_cnts"]).to_pandas(),
+            cfg)
+        flat_cells, flat_sites, flat_cnts = unpack_zonal_lists(t)
+        packed = pack_cell_site(flat_cells, flat_sites)
+        uniq, inv = np.unique(packed, return_inverse=True)
+        sums = np.bincount(inv, weights=flat_cnts.astype(np.float64))
+        pair_cells = uniq >> np.int64(ZONAL_SITE_BITS)
+        # pandas groupby sorts keys ascending — same order as np.unique,
+        # so the leaf searchsorted alignment applies unchanged
+        p_cells = combined["grid_cell"].to_numpy(dtype=np.int64)
+        offsets = np.concatenate([
+            np.searchsorted(pair_cells, p_cells, side="left"),
+            [len(pair_cells)]]).astype(np.int32)
+        out = pa.Table.from_pandas(combined, preserve_index=False)
+        out = out.append_column("site_ids", pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array((uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))
+                     .astype(np.int64))))
+        out = out.append_column("site_cnts", pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(sums.astype(np.int64))))
+        return out.append_column(
+            "_bucket", pa.array(np.full(out.num_rows, shard, dtype=np.int64)))
+
+    # STREAMING TREE FAN-IN per shard (the "very large B" note above,
+    # now implemented): leaf part refs fold in groups of ``fold_fanin``
+    # as they arrive, folded refs fold again at the next level, so the
+    # driver holds O(S * fanin * log_fanin(B)) refs instead of B x S,
+    # and each combine task receives a capped argument list whose tables
+    # are already per-cell-combined — not B raw slices.
+    folds = [_TreeFold(fold_parts, s, fold_fanin) for s in range(nb)]
     for bundle in partials.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
             refs = split_block.remote(block_ref)
             for s, r in enumerate(refs if nb > 1 else [refs]):
-                per_shard[s].append(r)
-    rows = [r for r in ray.get([combine_shard.remote(s, *per_shard[s])
-                                for s in range(nb) if per_shard[s]])
-            if r is not None]
+                folds[s].push(r)
+    combine_tasks = []
+    for s in range(nb):
+        rest = folds[s].drain()
+        if rest:
+            combine_tasks.append(combine_shard.remote(s, *rest))
+    rows = [r for r in ray.get(combine_tasks) if r is not None]
     lineage.complete_run(tiles_dir, key_col="tile_id",
                          num_shards=num_out_shards)
     lineage.complete_run(zonal_dir, key_col="grid_cell",

@@ -163,3 +163,53 @@ class TestFlagshipFullFused:
         after = read_resumable(f"{out_dir}/tiles").to_pandas() \
             .sort_values(["tile_id", "iy", "ix"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(before, after)
+
+
+class TestTreeFanIn:
+    """The flagship end-game's streaming tree fan-in (_TreeFold): driver
+    refs stay bounded regardless of leaf block count, and a deep fold
+    (fanin=2 over many read blocks) produces byte-identical output to a
+    fold-free run. Replaces the driver-resident B x S ref fan-out
+    (reference analog: chunks-per-worker heuristic, raster_proc.py:713-716)."""
+
+    def test_ref_bound_is_logarithmic(self):
+        from raster_processor_ray.pipelines.flagship import _TreeFold
+
+        class StubRemote:
+            def __init__(self):
+                self.calls = 0
+
+            def remote(self, shard, *parts):
+                self.calls += 1
+                return f"fold{self.calls}"
+
+        stub = StubRemote()
+        tf = _TreeFold(stub, shard=0, fanin=4)
+        for i in range(10_000):
+            tf.push(f"leaf{i}")
+        # fanin * ceil(log_fanin(B)) = 4 * 7 = 28 for B=10k
+        assert tf.max_refs <= 4 * 7, tf.max_refs
+        assert len(tf.drain()) <= 4 * 7
+        # every group of 4 leaves folded exactly once per level
+        assert stub.calls >= 10_000 // 4
+
+    def test_deep_fold_equals_flat(self, tmp_path, ray_session):
+        from raster_processor_ray.pipelines.flagship import run_flagship_full
+        from raster_processor_ray.sources.pages import write_pages_parquet
+        from raster_processor_ray.state.lineage import read_resumable
+
+        in_dir = str(tmp_path / "pages")
+        write_pages_parquet(in_dir, 8_000, rows_per_file=1_000,
+                            with_html=False)
+        frames = {}
+        for tag, fanin in [("deep", 2), ("flat", 10_000)]:
+            out = str(tmp_path / tag)
+            run_flagship_full(in_dir, out, num_out_shards=4,
+                              read_blocks=16, fold_fanin=fanin)
+            frames[tag] = (
+                read_resumable(f"{out}/tiles").to_pandas()
+                .sort_values(["tile_id", "iy", "ix"]).reset_index(drop=True),
+                read_resumable(f"{out}/dominant_site").to_pandas()
+                .sort_values("grid_cell").reset_index(drop=True))
+        pd.testing.assert_frame_equal(frames["deep"][0], frames["flat"][0])
+        pd.testing.assert_frame_equal(frames["deep"][1], frames["flat"][1])
