@@ -457,11 +457,20 @@ def string_agg(ds, key, val_col: str, *, sep: str = ",",
         same = np.zeros(n, dtype=bool)
         same[1:] = k[1:] == k[:-1]
         starts = np.flatnonzero(~same)
-        offsets = np.append(starts, n).astype(np.int32)
-        vals = pa.array(df[val_col].astype(str))
+        # SQL string_agg SKIPS NULL values (an astype(str) would
+        # concatenate the literal 'None'): drop null rows from the value
+        # stream but keep their GROUPS — a group whose values are all
+        # null yields NULL, exactly like the SQL aggregate
+        nn = df[val_col].notna().to_numpy()
+        counts = np.add.reduceat(nn.astype(np.int64), starts)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        vals = pa.array(df.loc[nn, val_col].astype(str),
+                        type=pa.string())      # empty -> string, not null
         lst = pa.ListArray.from_arrays(pa.array(offsets), vals)
         cols = {c: pa.array(df[c].to_numpy()[starts]) for c in keys}
-        cols[out] = pc.binary_join(lst, sep)
+        cols[out] = pc.if_else(pa.array(counts > 0),
+                               pc.binary_join(lst, sep),
+                               pa.scalar(None, pa.string()))
         return pa.table(cols)
 
     return (pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))

@@ -593,10 +593,11 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         if rest:
             combine_tasks.append(combine_shard.remote(s, *rest))
     rows = [r for r in ray.get(combine_tasks) if r is not None]
+    written = sorted(set(int(r["shard"]) for r in rows) | set(done))
     lineage.complete_run(tiles_dir, key_col="tile_id",
-                         num_shards=num_out_shards)
+                         num_shards=num_out_shards, shards=written)
     lineage.complete_run(zonal_dir, key_col="grid_cell",
-                         num_shards=num_out_shards)
+                         num_shards=num_out_shards, shards=written)
     mcols = ["shard", "tiles_rows", "tiles_bytes", "tiles_key_hash",
              "zonal_rows", "zonal_bytes", "zonal_key_hash"]
     m = (pd.DataFrame(rows, columns=mcols) if rows

@@ -104,50 +104,110 @@ def keyed_asof_join(left, right, key: str, ts_col: str, *,
                                       if c not in (key, ts_col, tie_col)]
     all_cols = lcols + [c for c in rcols if c not in lcols]
 
+    # dtype-aware padding: the union needs one schema, but an np.nan pad
+    # coerces int64/timestamp payload columns to float64/object (int64
+    # ids above 2^53 would lose precision). Pad from the OWNING side's
+    # arrow type instead: typed NaT for timestamps, nullable Int64 for
+    # ints, NaN only for floats.
+    col_types = {**dict(zip(right.schema().names, right.schema().types)),
+                 **dict(zip(left.schema().names, left.schema().types))}
+
+    def _null_pad(arrow_type, n: int) -> pd.Series:
+        import pyarrow.types as pat
+        if pat.is_timestamp(arrow_type):
+            return pd.Series(np.full(
+                n, np.datetime64("NaT"),
+                dtype=f"datetime64[{arrow_type.unit}]"))
+        if pat.is_integer(arrow_type):
+            return pd.Series(pd.array([pd.NA] * n, dtype="Int64"))
+        if pat.is_floating(arrow_type):
+            return pd.Series(np.full(n, np.nan))
+        if pat.is_boolean(arrow_type):
+            return pd.Series(pd.array([pd.NA] * n, dtype="boolean"))
+        return pd.Series([None] * n, dtype=object)
+
+    # explicit block schema: an all-null padded column would otherwise
+    # infer as arrow `null` type in some blocks, making block schemas
+    # diverge across the union
+    tag_schema = pa.schema([pa.field(c, col_types[c]) for c in all_cols]
+                           + [pa.field("_side", pa.int8()),
+                              pa.field("_bucket", pa.int64())])
+
     def tag(side: int, cols: list[str]):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
+        def f(df: pd.DataFrame) -> pa.Table:
             out = df[cols].copy()
             for c in all_cols:        # pad: union needs one schema
                 if c not in out.columns:
-                    out[c] = np.nan
+                    out[c] = _null_pad(col_types[c], len(df))
             out = out[all_cols]
             out["_side"] = np.int8(side)
             out["_bucket"] = _key_bucket(df, [key], num_buckets)
-            return out
+            return pa.Table.from_pandas(out, schema=tag_schema,
+                                        preserve_index=False)
         return f
 
     lt = left.map_batches(tag(1, lcols), batch_format="pandas")
     rt = right.map_batches(tag(0, rcols), batch_format="pandas")
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_bucket"]).sort_values(
-            [key, ts_col, "_side", tie_col],
-            kind="mergesort").reset_index(drop=True)
-        n = len(df)
-        side = df["_side"].to_numpy()
-        is_r = side == 0
+    def _sort_key(col) -> np.ndarray:
+        """Null-tolerant numeric sort key from an arrow column. Nulls
+        appear only on the PADDED side (e.g. left rows' tie), where the
+        value never affects matching — fill with 0 for lexsort."""
+        import pyarrow.compute as pc
+        import pyarrow.types as pat
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pat.is_timestamp(a.type):
+            # normalize to MICROSECONDS: the tolerance check compares
+            # these int64s against tolerance_us
+            return np.asarray(
+                pc.fill_null(a.cast(pa.timestamp("us")), 0).cast(pa.int64()))
+        if pat.is_integer(a.type):
+            return np.asarray(pc.fill_null(a, 0)).astype(np.int64)
+        return np.asarray(pc.fill_null(a.cast(pa.float64()), 0.0))
+
+    # ARROW-NATIVE bucket kernel: a pandas round-trip here converts
+    # int64-with-null payload columns (the padded union schema) to
+    # float64, silently corrupting ids above 2^53 — gather/null-out via
+    # take/if_else keeps every payload column's arrow type intact.
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.drop_columns(["_bucket"])
+        n = t.num_rows
+        import pyarrow.types as pat
+        ka = t[key]
+        if isinstance(ka, pa.ChunkedArray):
+            ka = ka.combine_chunks()
+        if pat.is_integer(ka.type) or pat.is_timestamp(ka.type):
+            k = _sort_key(ka)
+        else:                         # string keys: dense order codes
+            _, k = np.unique(np.asarray(ka), return_inverse=True)
+        ts = _sort_key(t[ts_col])
+        side = np.asarray(t["_side"]).astype(np.int8)
+        order = np.lexsort((_sort_key(t[tie_col]), side, ts, k))
+        ks, tss, sides = k[order], ts[order], side[order]
+        is_r = sides == 0
         rpos = np.where(is_r, np.arange(n), -1)
         last_r = np.maximum.accumulate(rpos)
-        k = df[key].to_numpy()
-        ts = df[ts_col].to_numpy()
-        lmask = ~is_r
-        match = last_r[lmask]
+        lpos = np.flatnonzero(~is_r)      # lefts, in sorted order
+        match = last_r[lpos]
         ok = match >= 0
         mc = np.clip(match, 0, n - 1)
-        ok &= (k[mc] == k[lmask])
+        ok &= ks[mc] == ks[lpos]
         if tolerance_us is not None:
-            dt = (ts[lmask].astype("datetime64[us]").astype(np.int64)
-                  - ts[mc].astype("datetime64[us]").astype(np.int64))
-            ok &= dt <= tolerance_us
-        out = df.loc[lmask, lcols].reset_index(drop=True)
+            ok &= (tss[lpos] - tss[mc]) <= tolerance_us
+        lorig = pa.array(order[lpos])     # original row ids of lefts
+        morig = pa.array(order[mc])       # ... and of their matches
+        out = t.select(lcols).take(lorig)
+        okpa = pa.array(ok)
         for c in [tie_col] + [p for p in payload_cols
                               if p not in (key, ts_col, tie_col)]:
-            vals = df[c].to_numpy()[mc]
-            name = c + suffix if c in lcols else c
-            s = pd.Series(vals).where(pd.Series(ok))
-            out[name] = s.to_numpy()
+            vals = pc.take(t[c], morig)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            vals = pc.if_else(okpa, vals, pa.scalar(None, type=vals.type))
+            out = out.append_column(c + suffix if c in lcols else c, vals)
         return out
 
     both = pin_for_shuffle(lt.union(rt))
     return both.groupby("_bucket").map_groups(per_bucket,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")

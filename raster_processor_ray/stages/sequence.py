@@ -12,8 +12,10 @@ consecutive boundaries is a sort of that small set (guarded: refuse
 above ``max_gaps`` rather than silently collect something huge — a
 sequence with 10^9 gaps needs a different report than a row per gap).
 
-Assumes distinct values (ids); duplicates would self-join in the anti
-step — dedup upstream with ``exact_dedup`` if needed.
+Duplicate values are tolerated: the stream is deduped (map-side local
+unique + one ``exact_dedup`` exchange) before the anti-joins, since a
+duplicated boundary row would mis-pair run starts/ends while still
+passing the length/endpoint assertion.
 """
 
 from __future__ import annotations
@@ -28,11 +30,17 @@ def sequence_gaps(ds, col: str, *, num_buckets: int = 32,
     """-> (gap_start, gap_end) for every maximal run of missing values
     strictly inside [min, max] of the present values."""
     from ..aggregate.relational import hash_join
+    from ..stages.dedup import exact_dedup
     from ..util import pin_for_shuffle
 
-    vals = pin_for_shuffle(ds.map_batches(
-        lambda b: pa.table({"v": np.asarray(b[col], dtype=np.int64)}),
-        batch_format="pyarrow"))
+    # distinct values: duplicates would emit a boundary row PER COPY in
+    # the anti-joins ([1,1,3] -> garbage gaps (2,0),(2,2) that still pass
+    # the boundary assertion). Map-side np.unique shrinks each batch;
+    # exact_dedup makes the stream globally distinct in one exchange.
+    vals = pin_for_shuffle(exact_dedup(ds.map_batches(
+        lambda b: pa.table(
+            {"v": np.unique(np.asarray(b[col], dtype=np.int64))}),
+        batch_format="pyarrow"), "v", num_buckets=num_buckets))
     if vals.count() == 0:
         return pd.DataFrame({"gap_start": pd.Series(dtype=np.int64),
                              "gap_end": pd.Series(dtype=np.int64)})

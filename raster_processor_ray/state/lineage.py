@@ -171,12 +171,23 @@ def prepare_resumable(out_dir: str, *, key_col: str, num_shards: int,
 
 
 def complete_run(out_dir: str, *, key_col: str, num_shards: int,
-                 input_fingerprint: str | None = None) -> None:
-    """Mark a resumable output dir complete (all shards written)."""
-    _write_run_manifest(out_dir, {
+                 input_fingerprint: str | None = None,
+                 shards: list[int] | None = None) -> None:
+    """Mark a resumable output dir complete.
+
+    ``shards``: the shard ids that actually RECEIVED rows. A groupby
+    write yields no group — hence no shard dir — for an empty shard, so
+    a complete undamaged layout can legitimately lack some of
+    ``range(num_shards)``; recording the written set lets the scrub
+    distinguish "never existed" from "deleted". ``None`` keeps the old
+    behavior (every shard expected)."""
+    m = {
         "complete": True, "num_shards": num_shards, "key_col": key_col,
         "input_fingerprint": input_fingerprint, "stage_version": STAGE_VERSION,
-    })
+    }
+    if shards is not None:
+        m["shards"] = sorted(int(s) for s in shards)
+    _write_run_manifest(out_dir, m)
 
 
 def write_shard_table(df: pd.DataFrame, out_dir: str, shard: int, *,
@@ -271,10 +282,14 @@ def write_resumable(ds, out_dir: str, *, key_col: str, num_shards: int = 64,
     res = pin_for_shuffle(ds).groupby(shard_col).map_groups(
         write_shard, batch_format="pandas")
     out = res.to_pandas()
-    _write_run_manifest(out_dir, {
-        "complete": True, "num_shards": num_shards, "key_col": key_col,
-        "input_fingerprint": input_fingerprint, "stage_version": STAGE_VERSION,
-    })
+    # record which shards actually received rows: empty shards produce
+    # no group (and no dir), and the scrub must not read their absence
+    # as damage (skewed layouts — e.g. an IVF bucket with no vectors —
+    # make this routine)
+    written = set(int(s) for s in out["shard"]) | set(done)
+    complete_run(out_dir, key_col=key_col, num_shards=num_shards,
+                 input_fingerprint=input_fingerprint,
+                 shards=sorted(written))
     return out
 
 

@@ -82,7 +82,12 @@ def scrub_corpus(out_dir: str, *, deep: bool = True) -> pd.DataFrame:
 
     run = lineage.read_run_manifest(out_dir)
     if run is not None:
-        expected = list(range(run["num_shards"]))
+        # prefer the recorded written-shard set: shards that received no
+        # rows never got a dir, and their absence is NOT damage (old
+        # manifests without the field fall back to every shard expected)
+        expected = run.get("shards")
+        if expected is None:
+            expected = list(range(run["num_shards"]))
     else:
         expected = sorted(lineage.finished_shards(out_dir))
     if not expected:

@@ -89,8 +89,16 @@ def apply_changeset(corpus_dir: str, changes_ds, *, key_col: str,
     digest.update(str(run.get("input_fingerprint")).encode())
     for h in sorted(out["key_hash"].astype(str)):
         digest.update(h.encode())
+    # a changeset can touch a shard that previously held no rows (its
+    # dir is created by the rewrite) — grow the recorded shard set so
+    # the scrub expects it from now on
+    prev_shards = run.get("shards")
+    if prev_shards is None:
+        prev_shards = range(int(run["num_shards"]))
     _write_run_manifest(corpus_dir, {
         **run, "complete": True,
+        "shards": sorted(set(int(s) for s in prev_shards)
+                         | set(int(s) for s in out["shard"])),
         "input_fingerprint": f"chg:{digest.hexdigest()[:16]}",
     })
     return out

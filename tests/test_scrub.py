@@ -72,3 +72,26 @@ def test_damage_classes_localized(layout):
     assert shallow.loc[1, "status"] == "bytes_mismatch"
     assert shallow.loc[2, "status"] == "ok"      # needs the deep tier
     assert shallow.loc[3, "status"] == "missing_data"
+
+
+def test_empty_shard_is_not_damage(ray_session, tmp_path):
+    """A shard that received NO rows gets no dir from the groupby write;
+    the scrub must read its absence as emptiness, not damage (regression:
+    skewed layouts such as an IVF bucket with no vectors)."""
+    out = str(tmp_path / "skewed")
+    # keys k % 8 != 3 -> shard 3 is legitimately empty
+    ks = np.array([k for k in range(200) if k % 8 != 3], dtype=np.int64)
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"k": ks, "v": ks * 2}), preserve_index=False))
+    write_resumable(ds, out, key_col="k", num_shards=8,
+                    input_fingerprint="t")
+    assert not os.path.isdir(_sdir(out, 3))
+    rep = scrub_corpus(out)
+    assert scrub_ok(rep), rep
+    assert 3 not in set(rep["shard"])
+    # deleting a NON-empty shard is still damage
+    import shutil
+    shutil.rmtree(_sdir(out, 4))
+    rep2 = scrub_corpus(out)
+    assert not scrub_ok(rep2)
+    assert (rep2.loc[rep2["shard"] == 4, "status"] == "missing_shard").all()

@@ -58,3 +58,39 @@ def test_sequence_gaps_guard(ray_session):
     ds = _ds(pd.DataFrame({"x": np.arange(0, 100, 2, dtype=np.int64)}))
     with pytest.raises(ValueError, match="max_gaps"):
         sequence_gaps(ds, "x", max_gaps=10)
+
+
+def test_string_agg_skips_nulls_like_sql(ray_session):
+    """SQL string_agg skips NULL values; a group whose values are ALL
+    null aggregates to NULL (not the literal 'None' or '')."""
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3],
+        "o": [1, 2, 3, 1, 2, 1],
+        "v": ["a", None, "c", None, None, "z"],
+    })
+    out = string_agg(_ds(df), "g", "v", sep=",", order_by="o",
+                     out="agg").to_pandas().set_index("g")["agg"]
+    assert out[1] == "a,c"
+    assert out[2] is None or pd.isna(out[2])
+    assert out[3] == "z"
+
+    import duckdb
+    sql = duckdb.sql(
+        "SELECT g, string_agg(v, ',' ORDER BY o) AS agg FROM df GROUP BY g"
+    ).df().set_index("g")["agg"]
+    for g in (1, 2, 3):
+        assert (pd.isna(out[g]) and pd.isna(sql[g])) or out[g] == sql[g]
+
+
+def test_sequence_gaps_tolerates_duplicates(ray_session):
+    """Duplicate values used to mis-pair run boundaries ([1,1,3] ->
+    gaps (2,0),(2,2)); the stream is now deduped first."""
+    df = pd.DataFrame({"v": [1, 1, 3]})
+    out = sequence_gaps(_ds(df, blocks=2), "v")
+    assert out.values.tolist() == [[2, 2]]
+    # heavier: every value duplicated 3x, same answer as distinct
+    vals = np.array([v for v in range(100) if v % 7 != 0], dtype=np.int64)
+    dup = pd.DataFrame({"v": np.repeat(vals, 3)})
+    ref = sequence_gaps(_ds(pd.DataFrame({"v": vals})), "v")
+    got = sequence_gaps(_ds(dup), "v")
+    pd.testing.assert_frame_equal(got, ref)

@@ -123,3 +123,31 @@ def test_keyed_asof_tolerance_and_ties(ray_session):
     assert np.isnan(got[101])     # 400 - 45 > 300s tolerance
     assert got[102] == 5          # s(59) <= s(60), within tolerance
     assert np.isnan(got[103])     # user 3 has no clicks
+
+
+def test_keyed_asof_int64_payload_precision(ray_session):
+    """Payload columns keep their arrow types through the padded union:
+    int64 ids above 2^53 must survive exactly (a float64 pad would
+    corrupt them), and unmatched lefts get real NULLs."""
+    from raster_processor_ray.stages.asof import keyed_asof_join
+
+    BIG = 2**53 + 1
+    base = pd.to_datetime("2024-01-01")
+    s = lambda x: base + pd.Timedelta(seconds=x)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([s(10), s(20), s(10)], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([s(5), s(15)], pa.timestamp("us")),
+        "tie": pa.array([10, 20], pa.int64()),
+        "payload_id": pa.array([BIG, BIG + 2], pa.int64()),
+    }))
+    rows = sorted(keyed_asof_join(left, right, key="k", ts_col="ts",
+                                  tie_col="tie",
+                                  payload_cols=["payload_id"]).take_all(),
+                  key=lambda r: (r["k"], r["ts"]))
+    assert rows[0]["payload_id"] == BIG and rows[0]["tie"] == 10
+    assert rows[1]["payload_id"] == BIG + 2 and rows[1]["tie"] == 20
+    assert rows[2]["payload_id"] is None and rows[2]["tie"] is None
