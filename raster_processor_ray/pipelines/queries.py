@@ -1455,24 +1455,43 @@ def q_simhash_fingerprints(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing end-to-end over a real-sized corpus: synthetic
-    binary payloads (documents' utf-8 bytes standing in for image blobs)
-    -> small-batch actor-pool decode stub -> per-source feature mean.
-    The codec itself is stubbed (no image libs in this sandbox); the
-    schema / batch-size / actor plumbing is the real scale shape."""
+    """Multimodal decode end-to-end over a real-sized corpus: synthetic
+    image payloads — REAL PNGs (pure-stdlib codec, functions/png.py) for
+    4 of 5 docs, raw utf-8 bytes for the rest to exercise the non-PNG
+    fallback lane — through the small-batch actor-pool decoder, then a
+    per-source feature mean. PNG rows' width/height/features come from
+    actual decoded pixels."""
     from ..stages.media import DecodeImageStub
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
 
-    def to_payload(b: pa.Table) -> pa.Table:
-        texts = [t or "" for t in b["text"].to_pylist()]
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "source": b["source"],
-            "payload": pa.array([t.encode() for t in texts], type=pa.binary()),
-        })
+    class ToPayload:
+        """64 distinct deterministic PNGs, ENCODED ONCE PER ACTOR in
+        __init__ (the actor-pool state pattern); rows pick by id."""
 
-    decoded = ds.map_batches(to_payload, batch_format="pyarrow")         .map_batches(DecodeImageStub, batch_format="pyarrow", batch_size=512,
+        def __init__(self):
+            from ..functions.png import encode_png
+            self.pngs = []
+            for k in range(64):
+                h, w = 8 + k % 8, 8 + (k // 8) % 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((yy * 31 + xx * 17 + k * 7) % 256).astype(
+                    np.uint8)[..., None]
+                self.pngs.append(encode_png(px, filter_type=k % 5))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            texts = [t or "" for t in b["text"].to_pylist()]
+            payload = [self.pngs[i % 64] if i % 5 else t.encode()
+                       for i, t in zip(ids, texts)]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "payload": pa.array(payload, type=pa.binary()),
+            })
+
+    decoded = ds.map_batches(ToPayload, batch_format="pyarrow",
+                             concurrency=actor_pool_size(0.5), num_cpus=0.5)         .map_batches(DecodeImageStub, batch_format="pyarrow", batch_size=512,
                      concurrency=actor_pool_size(0.5), num_cpus=0.5)
 
     def first_feat(b: pa.Table) -> pa.Table:

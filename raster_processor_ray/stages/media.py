@@ -1,11 +1,13 @@
 """Multimodal column stages: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/resize/feature kernels need codec libraries that are NOT in
-this container, so the codec step is stubbed behind a deterministic fake
-(or ``NotImplementedError`` in strict mode) — but the Ray-side plumbing is
-real and tested: schema handling, small-batch actor pools for large binary
-payloads, and the output layout.
+PNG payloads DECODE FOR REAL: a pure-stdlib codec (zlib inflate +
+NumPy scanline unfilter, functions/png.py) yields actual pixels, so
+width/height/features come from image content. Formats that need codec
+libraries absent from this container (JPEG/video) fall back to a
+deterministic byte-derived fake (or raise in strict mode) — the
+Ray-side plumbing (schema, small-batch actor pools, output layout) is
+identical either way.
 
 Scale notes encoded here: binary payloads dominate block size, so these
 stages run with small ``batch_size`` and ``batch_format='pyarrow'``
@@ -39,13 +41,35 @@ FRAME_SAMPLE_APPENDED_SCHEMA = pa.schema([
 ])
 
 
-class DecodeImageStub:
-    """'Decode' an image binary column -> (width, height, mode) metadata +
-    a fixed-size feature vector.
+def image_features(px: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 pixels -> the 16-dim feature vector of the decode
+    contract: per-channel mean [0:4] and std [4:8] (missing channels 0),
+    global mean/std/min/max normalized to [0,1] [8:12], 4-bin intensity
+    histogram fractions of channel 0 [12:16]."""
+    f = np.zeros(DECODE_IMAGE_FEATURE_DIM, dtype=np.float64)
+    flat = px.reshape(-1, px.shape[2]).astype(np.float64) / 255.0
+    c = px.shape[2]
+    f[0:c] = flat.mean(axis=0)
+    f[4:4 + c] = flat.std(axis=0)
+    f[8] = flat.mean()
+    f[9] = flat.std()
+    f[10] = flat.min()
+    f[11] = flat.max()
+    hist = np.bincount(px[:, :, 0].reshape(-1) >> 6, minlength=4)
+    f[12:16] = hist / hist.sum()
+    return f
 
-    strict=True raises NotImplementedError (the real decoder needs PIL /
-    libjpeg, absent here); strict=False produces a deterministic fake
-    derived from the payload bytes so downstream stages are testable.
+
+class DecodeImageStub:
+    """Decode an image binary column -> (width, height) metadata + a
+    fixed-size feature vector.
+
+    PNG payloads decode for real via the pure-stdlib codec
+    (functions/png.py): width/height/features are computed from actual
+    pixels. Other formats need codec libraries absent here (libjpeg /
+    ffmpeg): strict=True raises NotImplementedError for them,
+    strict=False substitutes a deterministic fake derived from the
+    payload bytes so downstream plumbing stays testable.
     """
 
     FEATURE_DIM = DECODE_IMAGE_FEATURE_DIM
@@ -55,13 +79,13 @@ class DecodeImageStub:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "image decode requires an image codec library (PIL/turbojpeg), "
-                "not available in this environment")
+        from ..functions.png import PNG_MAGIC, PngError, decode_png
+
         col = batch[self.binary_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        # fake lane (vectorized over the whole batch): deterministic
+        # byte-length-derived values; PNG rows overwrite theirs below
         lengths = pa.compute.binary_length(col).to_numpy(zero_copy_only=False)
         lengths = np.where(np.isnan(lengths.astype(np.float64)), 0, lengths).astype(np.int64)
         h = splitmix64(lengths.astype(np.uint64) + np.uint64(0x1234))
@@ -70,6 +94,25 @@ class DecodeImageStub:
         feats = np.stack([
             splitmix64(h + np.uint64(i)).astype(np.float64) / 2**64
             for i in range(self.FEATURE_DIM)], axis=1)
+        # real lane: per-payload decode (image decode is inherently
+        # per-item; the batch is small by design — binary payloads
+        # dominate memory, see module docstring)
+        for i in range(batch.num_rows):
+            v = col[i].as_py()
+            if v is None or not v.startswith(PNG_MAGIC):
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-PNG image decode requires a codec library "
+                        "(PIL/turbojpeg), not available in this environment")
+                continue
+            try:
+                px = decode_png(v)
+            except PngError:
+                if self.strict:
+                    raise
+                continue
+            height[i], width[i] = px.shape[0], px.shape[1]
+            feats[i] = image_features(px)
         out = batch.append_column("img_width", pa.array(width))
         out = out.append_column("img_height", pa.array(height))
         out = out.append_column(

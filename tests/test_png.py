@@ -1,0 +1,96 @@
+"""Pure-stdlib PNG codec (functions/png.py) + its wiring into the media
+decode stage: roundtrip over every filter/channel combination, a
+hand-computed golden fixture, palette expansion, and the real-decode /
+fake-fallback split in DecodeImageStub."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raster_processor_ray.functions.png import (PNG_MAGIC, PngError, _chunk,
+                                                decode_png, encode_png)
+from raster_processor_ray.stages import media
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter(channels, filter_type):
+    rng = np.random.default_rng(channels * 10 + filter_type)
+    for shape in [(1, 1), (2, 3), (7, 5), (16, 16), (33, 9)]:
+        a = rng.integers(0, 256, size=(*shape, channels), dtype=np.uint8)
+        b = decode_png(encode_png(a, filter_type=filter_type))
+        assert b.shape == a.shape
+        assert (b == a).all()
+
+
+def test_golden_pixels_and_features():
+    """Hand-computed fixture: a 2x3 RGB image with known values; decode
+    must reproduce the exact pixels and the stage must report
+    width/height/mean from actual content."""
+    px = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+                  dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert (out == px).all()
+
+    t = pa.table({"payload": pa.array([encode_png(px)], type=pa.binary())})
+    dec = media.DecodeImageStub()(t)
+    assert dec["img_width"][0].as_py() == 3
+    assert dec["img_height"][0].as_py() == 2
+    feats = np.asarray(dec["img_features"][0].as_py())
+    # feature[0] = mean of channel 0 / 255 (hand-computed)
+    exp_r = (255 + 0 + 0 + 10 + 40 + 70) / 6 / 255.0
+    assert abs(feats[0] - exp_r) < 1e-6
+    assert abs(feats[10] - 0.0) < 1e-6          # global min = 0
+    assert abs(feats[11] - 1.0) < 1e-6          # global max = 255/255
+    # histogram over channel 0 (values 255,0,0,10,40,70; v >> 6 ->
+    # 3,0,0,0,0,1): bin counts {0: 4, 1: 1, 3: 1}
+    assert feats[12:16] == pytest.approx([4 / 6, 1 / 6, 0.0, 1 / 6])
+
+
+def test_palette_decode():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    png = (PNG_MAGIC
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(raw))
+           + _chunk(b"IEND", b""))
+    d = decode_png(png)
+    assert d.shape == (2, 2, 3)
+    assert d[0, 0].tolist() == [255, 0, 0]
+    assert d[0, 1].tolist() == [0, 255, 0]
+    assert d[1, 0].tolist() == [0, 0, 255]
+
+
+def test_decode_rejects_garbage():
+    for bad in (b"", b"x", PNG_MAGIC + b"junk",
+                PNG_MAGIC + _chunk(b"IHDR", struct.pack(
+                    ">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))):  # 16-bit depth
+        with pytest.raises(PngError):
+            decode_png(bad)
+
+
+def test_stage_mixed_batch_real_and_fake():
+    """PNG rows get content-derived metadata, non-PNG rows keep the
+    deterministic byte-derived fake; strict raises only for non-PNG."""
+    px = np.zeros((4, 7, 3), dtype=np.uint8)
+    t = pa.table({"payload": pa.array([encode_png(px), b"not an image"],
+                                      type=pa.binary())})
+    dec = media.DecodeImageStub()(t)
+    assert dec["img_width"][0].as_py() == 7
+    assert dec["img_height"][0].as_py() == 4
+    feats = np.asarray(dec["img_features"][0].as_py())
+    assert feats[8] == 0.0 and feats[11] == 0.0    # all-black image
+    # fake row: values exist and are deterministic
+    dec2 = media.DecodeImageStub()(t)
+    assert dec["img_width"][1].as_py() == dec2["img_width"][1].as_py()
+
+    strict = media.DecodeImageStub(strict=True)
+    assert strict(t.slice(0, 1))["img_width"][0].as_py() == 7  # PNG ok
+    with pytest.raises(NotImplementedError):
+        strict(t)                                   # non-PNG row raises
