@@ -86,6 +86,39 @@ def _key_bucket(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarr
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _key_bucket_arrow(t: pa.Table, keys: list[str],
+                      num_buckets: int) -> np.ndarray:
+    """Arrow-native twin of :func:`_key_bucket` — same canonical hashing
+    (numerics by float64 value, strings/binary by raw bytes) without a
+    pandas round-trip, for bucket-add stages that keep batches in Arrow.
+    Bucket routing only; equality is always decided inside the bucket."""
+    import pyarrow.compute as pc
+    import pyarrow.types as pat
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ty = col.type
+            if pat.is_integer(ty) or pat.is_floating(ty) or pat.is_boolean(ty):
+                v = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                v = v + 0.0                    # -0.0 -> 0.0
+                v[np.isnan(v)] = np.nan        # canonical NaN payload
+                hk = splitmix64(v.view(np.uint64))
+            elif pat.is_timestamp(ty) or pat.is_duration(ty):
+                hk = splitmix64(np.asarray(
+                    pc.fill_null(col.cast(pa.int64()), 0)).astype(np.uint64))
+            else:
+                if not (pat.is_string(ty) or pat.is_large_string(ty)
+                        or pat.is_binary(ty) or pat.is_large_binary(ty)):
+                    col = col.cast(pa.string())
+                hk = fnv1a_64(col)
+            h = splitmix64(h ^ hk)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def hash_aggregate(ds, keys: list[str] | str, spec: dict, *, num_buckets: int = 32):
     keys = [keys] if isinstance(keys, str) else list(keys)
     partial, final = _partial_spec(spec)

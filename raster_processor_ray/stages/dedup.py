@@ -61,16 +61,35 @@ def exact_dedup(ds, key: str, order_by: str | list[str] | None = None, *,
         h = fnv1a_64(b[key].cast(pa.string()))
         return b.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
-    def first_per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_bucket"]).sort_values(sort_cols, kind="mergesort")
-        return df.drop_duplicates(subset=[key], keep="first")
+    def first_per_key(t: pa.Table) -> pa.Table:
+        # ARROW-NATIVE keep-first (string keys dominate this exchange;
+        # a pandas round-trip would copy every key byte twice): stable
+        # sort + shifted not_equal first-occurrence mask. Null keys
+        # collapse to ONE surviving row (pandas drop_duplicates
+        # semantics): not_equal is null for null neighbors, so fill
+        # from the is-null transition instead.
+        t = t.drop_columns(["_bucket"])
+        idx = pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in sort_cols])
+        kb = t[key].take(idx)
+        if isinstance(kb, pa.ChunkedArray):
+            kb = kb.combine_chunks()
+        n = len(kb)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            isnull = np.asarray(pc.is_null(kb))
+            raw = np.asarray(pc.fill_null(pc.not_equal(
+                kb.slice(1), kb.slice(0, n - 1)), False))
+            keep[1:] = np.where(isnull[1:] | isnull[:-1],
+                                isnull[1:] != isnull[:-1], raw)
+        return t.take(idx.filter(pa.array(keep)))
 
     from ..util import pin_for_shuffle
 
     return (
         pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("_bucket")
-        .map_groups(first_per_key, batch_format="pandas")
+        .map_groups(first_per_key, batch_format="pyarrow")
     )
 
 

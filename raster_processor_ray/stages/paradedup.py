@@ -68,57 +68,76 @@ def explode_paragraphs(ds, *, text_col: str = "text",
 
 def _keep_first(exploded, id_col: str, num_buckets: int):
     """Surviving (id, para_idx, para) rows: first corpus occurrence per
-    distinct paragraph, order (doc_id, para_idx)."""
-    from ..aggregate.relational import _key_bucket
+    distinct paragraph, order (doc_id, para_idx).
+
+    ARROW-NATIVE end to end: paragraph strings are the dominant bytes of
+    this exchange, and a pandas round-trip would copy every byte into
+    (and back out of) object arrays twice; ``sort_indices`` + a shifted
+    ``not_equal`` first-occurrence mask keep them in Arrow buffers."""
+    from ..aggregate.relational import _key_bucket_arrow
     from ..util import pin_for_shuffle
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_bucket"] = _key_bucket(df, ["para"], num_buckets)
-        return df
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", pa.array(
+            _key_bucket_arrow(b, ["para"], num_buckets)))
 
-    def first_per_para(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["para", id_col, "para_idx"], kind="mergesort")
-        return (df[~df["para"].duplicated()]
-                .drop(columns=["_bucket"]).reset_index(drop=True))
+    def first_per_para(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        idx = pc.sort_indices(t, sort_keys=[("para", "ascending"),
+                                            (id_col, "ascending"),
+                                            ("para_idx", "ascending")])
+        para = t["para"].take(idx)
+        if isinstance(para, pa.ChunkedArray):
+            para = para.combine_chunks()
+        n = len(para)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            keep[1:] = np.asarray(pc.not_equal(
+                para.slice(1), para.slice(0, n - 1)))
+        return t.take(idx.filter(pa.array(keep)))
 
     withb = pin_for_shuffle(exploded.map_batches(add_bucket,
-                                                 batch_format="pandas"))
+                                                 batch_format="pyarrow"))
     return withb.groupby("_bucket").map_groups(first_per_para,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
 
 def _reassemble(kept, id_col: str, delim: str, num_buckets: int):
     """kept rows -> (id, n_kept, text_dedup) via one doc-bucketed
     exchange; the per-doc join is a single Arrow binary_join kernel."""
-    from ..aggregate.relational import _key_bucket
+    from ..aggregate.relational import _key_bucket_arrow
     from ..util import pin_for_shuffle
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_bucket"] = _key_bucket(df, [id_col], num_buckets)
-        return df
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", pa.array(
+            _key_bucket_arrow(b, [id_col], num_buckets)))
 
-    def join_docs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([id_col, "para_idx"], kind="mergesort")
-        ids = df[id_col].to_numpy(dtype=np.int64)
+    def join_docs(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending"),
+                                            ("para_idx", "ascending")])
+        ts = t.take(idx)
+        ids = np.asarray(ts[id_col]).astype(np.int64)
         starts = np.flatnonzero(np.concatenate(
             [[True], ids[1:] != ids[:-1]])) if len(ids) else np.empty(0, int)
         counts = np.diff(np.append(starts, len(ids)))
         offsets = pa.array(np.concatenate([[0], np.cumsum(counts)]),
                            type=pa.int32())
-        paras = pa.array(df["para"].to_numpy(dtype=object), type=pa.string())
+        paras = ts["para"]                 # stays in Arrow buffers
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
         lists = pa.ListArray.from_arrays(offsets, paras)
         joined = pc.binary_join(lists, delim)
-        return pd.DataFrame({
-            id_col: ids[starts] if len(ids) else np.empty(0, np.int64),
-            "n_kept": counts.astype(np.int64),
-            "text_dedup": joined.to_pandas()})
+        return pa.table({
+            id_col: pa.array(ids[starts] if len(ids) else
+                             np.empty(0, np.int64)),
+            "n_kept": pa.array(counts.astype(np.int64)),
+            "text_dedup": joined})
 
     withb = pin_for_shuffle(kept.map_batches(add_bucket,
-                                             batch_format="pandas"))
+                                             batch_format="pyarrow"))
     return withb.groupby("_bucket").map_groups(join_docs,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
 
 def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
