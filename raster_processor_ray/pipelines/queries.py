@@ -1888,6 +1888,92 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) <= 5
 """
 
 
+def q_top_collocations(sf_dir: str, *, min_count: int = 5, k: int = 20):
+    """PMI collocations (Church & Hanks 1990): top-k adjacent word pairs
+    by pointwise mutual information ln(c12*N/(c1*c2)), min pair count 5.
+    One text scan emits union-typed (pair + unigram) count partials ->
+    one bounded exchange sums them -> the filtered pair table joins its
+    two unigram counts (hash joins, both sides stay distributed) -> PMI
+    quantized to int64 micro-nats (the lm_perplexity device: floor(x *
+    1e6) computed on the IDENTICAL float64 expression in both engines)
+    -> global top-k without a global sort. The corpus is never
+    exchanged, only gram partials."""
+    from ..aggregate.relational import hash_aggregate, hash_join, topk
+    from ..stages.text import collocation_partials
+    from ..util import pin_for_shuffle
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    partials = docs.map_batches(collocation_partials, batch_format="pyarrow")
+    counts = pin_for_shuffle(hash_aggregate(
+        partials, ["is_pair", "w1", "w2"], {"n": ("n", "sum")}))
+
+    def split(want_pair: int, min_n: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(b["is_pair"], want_pair),
+                        pc.greater_equal(b["n"], min_n))
+            return b.filter(m)
+        return f
+
+    n_total = int(counts.map_batches(split(0, 0), batch_format="pyarrow")
+                  .sum("n"))
+    uni = counts.map_batches(split(0, 0), batch_format="pyarrow")         .map_batches(lambda b: pa.table({"w1": b["w1"], "n_w": b["n"]}),
+                     batch_format="pyarrow")
+    pairs = counts.map_batches(split(1, min_count), batch_format="pyarrow")         .map_batches(lambda b: pa.table({"w1": b["w1"], "w2": b["w2"],
+                                         "n_pair": b["n"]}),
+                     batch_format="pyarrow")
+    j1 = hash_join(pairs, uni, on="w1", how="inner")
+    uni2 = uni.map_batches(
+        lambda b: pa.table({"w2": b["w1"], "n_w2": b["n_w"]}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, uni2, on="w2", how="inner")
+
+    def pmi(df: pd.DataFrame) -> pd.DataFrame:
+        c12 = df["n_pair"].to_numpy(dtype=np.float64)
+        den = (df["n_w"].to_numpy(dtype=np.int64)
+               * df["n_w2"].to_numpy(dtype=np.int64)).astype(np.float64)
+        # mirror the oracle expression exactly:
+        # ln(CAST(n_pair AS DOUBLE) * N / (n_w1 * n_w2))
+        ratio = c12 * np.float64(n_total) / den
+        df = df[["w1", "w2", "n_pair"]].copy()
+        df["pmi_micro"] = np.floor(np.log(ratio) * 1e6).astype(np.int64)
+        df["_tie"] = df["w1"] + "\x01" + df["w2"]
+        return df
+
+    scored = j2.map_batches(pmi, batch_format="pandas")
+    out = topk(scored, "pmi_micro", k, descending=True, tie_col="_tie")
+    return out.map_batches(
+        lambda df: df[["w1", "w2", "n_pair", "pmi_micro"]],
+        batch_format="pandas")
+
+
+SQL_TOP_COLLOCATIONS = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+') AS ws
+  FROM documents
+), toks AS (
+  SELECT doc_id, lower(unnest(ws)) AS w, unnest(range(1, len(ws) + 1)) AS pos
+  FROM docs
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), pcnt AS (
+  SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2
+), ucnt AS (
+  SELECT w, count(*) AS n_w FROM toks GROUP BY 1
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT p.w1, p.w2, p.n_pair,
+       CAST(floor(ln(CAST(p.n_pair AS DOUBLE) * t.n / (u1.n_w * u2.n_w))
+                  * 1000000.0) AS BIGINT) AS pmi_micro
+FROM pcnt p
+CROSS JOIN tot t
+JOIN ucnt u1 ON u1.w = p.w1
+JOIN ucnt u2 ON u2.w = p.w2
+WHERE p.n_pair >= 5
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 20
+"""
+
+
 def q_zorder_keys(sf_dir: str):
     """Morton clustering keys (geo/zorder.py) of each doc's 1-degree
     cell — the write-locality sort key, oracle-checked bit-for-bit."""
@@ -4092,7 +4178,8 @@ def queries() -> dict:
         "nation_balance_full": q_nation_balance_full,
         "price_stats": q_price_stats,
         "events_profile": q_events_profile,
-        # -- 51-63: remaining oracle-backed, not yet driver-verified --
+        # -- 51+: remaining oracle-backed, not yet driver-verified --
+        "top_collocations": q_top_collocations,
         "radius_join_sites": q_radius_join,
         "event_deltas": q_event_deltas,
         "zorder_keys": q_zorder_keys,
@@ -4228,6 +4315,7 @@ def oracle_sql() -> dict:
         "event_deltas": SQL_EVENT_DELTAS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "top_terms": SQL_TOP_TERMS,
+        "top_collocations": SQL_TOP_COLLOCATIONS,
         "zorder_keys": SQL_ZORDER_KEYS,
         "raster_regions": SQL_RASTER_REGIONS,
         "pivot_lang": SQL_PIVOT_LANG,

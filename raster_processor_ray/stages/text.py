@@ -278,6 +278,43 @@ def term_count_partials(batch: pa.Table, *, text_col: str = "text",
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def collocation_partials(batch: pa.Table, *, text_col: str = "text"):
+    """Per-batch partial counts for PMI collocations: ADJACENT lowercase
+    ASCII-alnum token pairs (bigrams) and unigrams in ONE text scan,
+    emitted as a union-typed partial table ``(is_pair, w1, w2, n)``
+    (unigrams carry w2 = ''). Tokenization is exactly
+    :func:`term_count_partials`'s split (RE2 ``[A-Za-z0-9]+`` + ASCII
+    lower), so the DuckDB oracle's regexp_extract_all path is
+    bit-identical. Adjacency survives the empty-token drop because the
+    separator split only yields empties at document ends.
+
+    Map output is bounded by distinct (w1, w2) + distinct tokens per
+    batch — the shuffle ships partials, never token occurrences."""
+    t = _as_string_array(batch[text_col])
+    toks = pc.split_pattern_regex(t, r"[^A-Za-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.utf8_lower(toks.flatten()).to_numpy(zero_copy_only=False)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    n_per_doc = offsets[1:] - offsets[:-1]
+    doc_of = np.repeat(np.arange(len(n_per_doc), dtype=np.int64), n_per_doc)
+    mask = flat != ""
+    f_tok, f_doc = flat[mask], doc_of[mask]
+    uni = pd.DataFrame({"w1": f_tok}).groupby("w1", sort=False)         .size().reset_index(name="n")
+    uni["w2"] = ""
+    uni["is_pair"] = np.int8(0)
+    if len(f_tok) > 1:
+        adj = f_doc[1:] == f_doc[:-1]
+        pairs = pd.DataFrame({"w1": f_tok[:-1][adj], "w2": f_tok[1:][adj]})
+        pc_ = pairs.groupby(["w1", "w2"], sort=False).size()             .reset_index(name="n")
+        pc_["is_pair"] = np.int8(1)
+    else:
+        pc_ = uni.iloc[0:0]
+    out = pd.concat([uni, pc_], ignore_index=True)
+    return pa.Table.from_pandas(out[["is_pair", "w1", "w2", "n"]],
+                                preserve_index=False)
+
+
 def _trim_utf8_window(data: np.ndarray, start: np.ndarray,
                       stop: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized equivalent of ``bytes.decode('utf-8','ignore')`` +
