@@ -293,7 +293,24 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
                 sub[c] = sub[c].astype(t.to_pandas_dtype())
         return sub
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def fix_null_types(out: pd.DataFrame) -> pa.Table:
+        # a bucket with no rows (or an all-null column) would infer
+        # arrow `null` type from the pandas object column, making block
+        # schemas diverge across buckets — cast those back to the known
+        # column type (an all-null cast is validity-bitmap-only)
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        fields, changed = [], False
+        for f in t.schema:
+            exp = col_type.get(f.name)
+            if (exp is not None and pa.types.is_null(f.type)
+                    and not pa.types.is_null(exp)):
+                fields.append(pa.field(f.name, exp))
+                changed = True
+            else:
+                fields.append(f)
+        return t.cast(pa.schema(fields)) if changed else t
+
+    def join_bucket(df: pd.DataFrame) -> pa.Table:
         l = restore_dtypes(df[df._side == 0][lcols])
         r = restore_dtypes(df[df._side == 1][rcols_out])
         if left_distinct is not None:
@@ -302,10 +319,12 @@ def hash_join(left, right, on: str | list[str], how: str = "inner", *,
             # dedup shuffle upstream)
             l = l.drop_duplicates(subset=left_distinct)
         if how == "semi":
-            return l[l.set_index(on).index.isin(r.set_index(on).index)]
-        if how == "anti":
-            return l[~l.set_index(on).index.isin(r.set_index(on).index)]
-        return l.merge(r, on=on, how="outer" if how == "full" else how)
+            out = l[l.set_index(on).index.isin(r.set_index(on).index)]
+        elif how == "anti":
+            out = l[~l.set_index(on).index.isin(r.set_index(on).index)]
+        else:
+            out = l.merge(r, on=on, how="outer" if how == "full" else how)
+        return fix_null_types(out)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
