@@ -2847,6 +2847,68 @@ FROM documents GROUP BY 1
 """
 
 
+def q_domain_quality(sf_dir: str):
+    """Per-domain quality aggregation -> blocklist derivation (the
+    curation policy step: drop domains whose mean quality is below the
+    corpus mean). One actor-pool quality pass (bit-exact RE2-parity
+    features), per-doc quality quantized to int64 micro-units BEFORE
+    summation so the per-domain sums are order-free exact, one bounded
+    per-host exchange, and the blocked flag from a float64 comparison
+    of the SAME exact integers in both engines."""
+    from ..aggregate.relational import hash_aggregate
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    scored = docs.map_batches(QualityScore, batch_format="pandas",
+                              concurrency=actor_pool_size(0.5), num_cpus=0.5)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "host": df["source"].astype(str) + ".example",
+            "qm": np.floor(df["quality"].to_numpy(np.float64)
+                           * 1e6).astype(np.int64),
+        })
+        return out.groupby("host", as_index=False).agg(
+            n_docs=("qm", "size"), sum_q_micro=("qm", "sum"))
+
+    agg = hash_aggregate(
+        scored.map_batches(partial, batch_format="pandas"), "host",
+        {"n_docs": ("n_docs", "sum"),
+         "sum_q_micro": ("sum_q_micro", "sum")}).materialize()
+    tot_n = int(agg.sum("n_docs"))
+    tot_s = int(agg.sum("sum_q_micro"))
+    corpus_mean = np.float64(tot_s) / np.float64(tot_n)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        mean_d = (df["sum_q_micro"].to_numpy(np.float64)
+                  / df["n_docs"].to_numpy(np.float64))
+        df = df[["host", "n_docs", "sum_q_micro"]].copy()
+        df["blocked"] = (mean_d < corpus_mean).astype(np.int64)
+        return df
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+SQL_DOMAIN_QUALITY = f"""
+WITH q AS ({SQL_QUALITY}),
+j AS (
+  SELECT d.source || '.example' AS host,
+         CAST(floor(q.quality * 1000000.0) AS BIGINT) AS qm
+  FROM q JOIN documents d USING (doc_id)
+), a AS (
+  SELECT host, count(*) AS n_docs, CAST(sum(qm) AS BIGINT) AS sum_q_micro
+  FROM j GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+         CAST(sum(sum_q_micro) AS BIGINT) AS s FROM a
+)
+SELECT a.host, a.n_docs, a.sum_q_micro,
+       CAST(CAST(a.sum_q_micro AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+            < CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS BIGINT) AS blocked
+FROM a CROSS JOIN t
+"""
+
+
 def q_bpe_top_pieces(sf_dir: str):
     """Subword tokenizer end-to-end (pipelines/bpe.py): learn 30 BPE
     merges from the bounded word-frequency table, broadcast the ranked
@@ -4180,6 +4242,7 @@ def queries() -> dict:
         "events_profile": q_events_profile,
         # -- 51+: remaining oracle-backed, not yet driver-verified --
         "top_collocations": q_top_collocations,
+        "domain_quality": q_domain_quality,
         "radius_join_sites": q_radius_join,
         "event_deltas": q_event_deltas,
         "zorder_keys": q_zorder_keys,
@@ -4342,6 +4405,7 @@ def oracle_sql() -> dict:
         "repetition_stats": SQL_REPETITION_STATS,
         "decontam_overlap": SQL_DECONTAM_OVERLAP,
         "url_domains": SQL_URL_DOMAINS,
+        "domain_quality": SQL_DOMAIN_QUALITY,
         "pii_scrub": _sql_pii(),
         "para_dedup": SQL_PARA_DEDUP,
         "bm25_search": _sql_bm25(),
