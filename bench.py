@@ -66,6 +66,18 @@ BENCH_QUERIES = [
     "raster_resample", "track_lengths", "track_simplify",
     "pagerank_personalized", "click_attribution", "label_centroids",
     "link_components",
+    # round-4 additions + previously-unbenched registry entries
+    "top_collocations", "domain_quality", "media_decode", "langid",
+    "quality", "pip_zonal", "pivot_lang", "parts_intersect",
+    "event_quartiles", "splat_gaussian", "splat_idw", "raster_regions",
+    "embed_near_dup", "embed_dedup", "embed_dim_stats",
+    "simhash_fingerprints", "ngram_jaccard", "hex_cells",
+    "join_orders_customers", "orders_anti_join", "wse_corrections",
+    "brand_consensus", "dedup_docs", "filter_revenue", "lang_counts",
+    "pip_anti_count", "pip_labels", "stratified_sample",
+    "subsample_docs", "time_coverage", "top_orders", "utm_raster",
+    "value_quantiles_cont", "gap_flags", "geoloc_refined_full",
+    "minhash_verified",
 ]
 
 

@@ -94,3 +94,19 @@ def test_stage_mixed_batch_real_and_fake():
     assert strict(t.slice(0, 1))["img_width"][0].as_py() == 7  # PNG ok
     with pytest.raises(NotImplementedError):
         strict(t)                                   # non-PNG row raises
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    f=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property(h, w, c, f, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert (decode_png(encode_png(a, filter_type=f)) == a).all()
