@@ -3339,6 +3339,72 @@ def q_corpus_upsert(sf_dir: str):
     return read_resumable(corpus)
 
 
+def q_incremental_curation(sf_dir: str):
+    """The COMPOSED incremental-ingest loop a crawl pipeline runs per
+    snapshot: new batch (doc_id % 5 == 0) -> probe the corpus's
+    persisted MinHash band index (touched shards only; index shared
+    with q_minhash_probe, built once per input fingerprint) -> exact
+    distributed Jaccard verify -> anti-join drops near-dup new docs ->
+    upsert the survivors into the persisted resumable corpus (only
+    affected shards rewritten). Returns the maintained corpus ids.
+    Rows-only driver check (side-effecting composition; each stage is
+    individually oracle-/golden-verified)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    import ray.data as _rd
+
+    from ..aggregate.relational import hash_join
+    from ..stages.dedup import (jaccard_verify_distributed,
+                                minhash_index_build, minhash_index_probe)
+    from ..state import lineage as _lin
+    from ..state.upsert import apply_changeset
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = (ids % 5 == 0) if keep_new else (ids % 5 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    new = docs.map_batches(split(True), batch_format="pyarrow")
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+
+    # shared persisted band index (same layout/params as q_minhash_probe)
+    idx = f"/tmp/graft_q/minhash_idx_{tag}"
+    fp = "minhash:" + _lin.input_fingerprint_from_paths(
+        f"{sf_dir}/documents.parquet")
+    if not (_os.path.exists(f"{idx}/MINHASH_PARAMS.json")
+            and _lin.is_complete(idx, input_fingerprint=fp)):
+        _sh.rmtree(idx, ignore_errors=True)
+        minhash_index_build(corpus, idx, num_perm=64, num_bands=16,
+                            num_shards=16, input_fingerprint=fp)
+    cands = minhash_index_probe(new, idx)
+    pairs = cands.map_batches(
+        lambda b: pa.table({"id_a": b["new_id"], "id_b": b["old_id"]}),
+        batch_format="pyarrow")
+    dup = jaccard_verify_distributed(pairs, docs, threshold=0.6)
+    dup_ids = dup.map_batches(
+        lambda b: pa.table({"doc_id": b["id_a"]}), batch_format="pyarrow")
+    survivors = hash_join(new, dup_ids, on="doc_id", how="anti")
+
+    # fresh corpus layout per run (the upsert mutates it)
+    cdir = f"/tmp/graft_q/incr_corpus_{tag}"
+    _sh.rmtree(cdir, ignore_errors=True)
+    _lin.write_resumable(corpus, cdir, key_col="doc_id", num_shards=8,
+                         input_fingerprint=fp)
+    changes = survivors.map_batches(
+        lambda df: df.assign(op="upsert"), batch_format="pandas")
+    apply_changeset(cdir, changes, key_col="doc_id")
+    out = _lin.read_resumable(cdir)
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
+
+
 MIXTURE_WEIGHTS = {"en": 0.8, "de": 0.5, "es": 0.25, "fr": 0.1,
                    "zh": 0.05}
 
@@ -4320,6 +4386,7 @@ def queries() -> dict:
         "approx_quantiles": q_approx_quantiles,
         "canonical_docs": q_canonical_docs,
         "minhash_probe": q_minhash_probe,
+        "incremental_curation": q_incremental_curation,
         "pq_top5": q_pq_top5,
         "ivf_pq_top5": q_ivf_pq_top5,
         "kmeans_clusters": q_kmeans_clusters,
