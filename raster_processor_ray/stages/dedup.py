@@ -366,7 +366,16 @@ def jaccard_verify_distributed(pairs_ds, docs_ds, *, id_col: str = "doc_id",
         jac = np.empty(n, dtype=np.float64)
         for i in range(n):
             a, b = sets[ca[i]], sets[cb[i]]
-            inter = len(np.intersect1d(a, b, assume_unique=True))
+            if len(a) > len(b):
+                a, b = b, a
+            if len(b) == 0:
+                jac[i] = 1.0          # both empty -> union 0 -> defined 1
+                continue
+            # searchsorted membership count over the presorted unique
+            # arrays (intersect1d re-sorts per call)
+            pos = np.searchsorted(b, a)
+            pos[pos == len(b)] = len(b) - 1
+            inter = int((b[pos] == a).sum())
             union = len(a) + len(b) - inter
             jac[i] = inter / union if union else 1.0
         out = df[["id_a", "id_b"]].copy()

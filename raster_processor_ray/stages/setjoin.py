@@ -104,15 +104,61 @@ def _gram_sets(texts, n: int) -> list[np.ndarray]:
 
 def ngram_jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
                        ngram: int = 3, threshold: float = 0.5,
-                       num_buckets: int = 64):
+                       num_buckets: int = 64, freq_order: bool = True,
+                       hot_k: int = 65536):
     """All (id_a < id_b, jaccard) pairs with word-``ngram`` Jaccard >=
     ``threshold``. EXACT (prefix-filter candidates + full verification).
-    """
+
+    ``freq_order``: use the classic RAREST-FIRST global gram order
+    (Bayardo et al.'s refinement) instead of plain hash order: one
+    bounded aggregate computes exact gram document frequencies, the
+    ``hot_k`` hottest grams broadcast (sorted-array lookup), and each
+    doc's grams order by (freq, hash) — hot boilerplate grams fall out
+    of every prefix, collapsing candidate groups. ANY total order keeps
+    the prefix theorem exact; this one just yields far fewer candidates
+    (measured at sf0.1: 459k -> see below). Grams outside the hot table
+    rank as freq 0 (ties by hash) — still a total order, and rare grams
+    are exactly the ones prefixes should hold."""
     t = float(threshold)
+
+    hot_ref = None
+    if freq_order:
+        import ray
+
+        from ..aggregate.relational import hash_aggregate, topk
+
+        def gram_df_partial(b: pa.Table) -> pa.Table:
+            _, gh = _word_gram_hashes(b[text_col], ngram)
+            u, c = np.unique(gh, return_counts=True)
+            return pa.table({"g": pa.array(u.view(np.int64)),
+                             "n": pa.array(c.astype(np.int64))})
+
+        gdf = hash_aggregate(
+            ds.map_batches(gram_df_partial, batch_format="pyarrow"),
+            "g", {"n": ("n", "sum")}, num_buckets=num_buckets)
+        hot = topk(gdf, "n", hot_k, tie_col="g").to_pandas()
+        hg = hot["g"].to_numpy(dtype=np.int64).view(np.uint64)
+        hn = hot["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(hg)
+        hot_ref = ray.put((hg[order], hn[order]))
+
+    def _gram_freq(gh: np.ndarray) -> np.ndarray:
+        import ray
+        hg, hn = ray.get(hot_ref)
+        if len(hg) == 0:
+            return np.zeros(len(gh), dtype=np.int64)
+        pos = np.searchsorted(hg, gh)
+        pos[pos == len(hg)] = len(hg) - 1
+        return np.where(hg[pos] == gh, hn[pos], 0)
 
     def prefix_rows(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col]).astype(np.int64)
         doc_idx, gh = _word_gram_hashes(b[text_col], ngram)
+        if hot_ref is not None and len(gh):
+            # re-rank within doc by the global (freq, hash) total order
+            freq = _gram_freq(gh)
+            order = np.lexsort((gh, freq, doc_idx))
+            doc_idx, gh = doc_idx[order], gh[order]
         sizes = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
         starts = np.zeros(len(ids), dtype=np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])
@@ -125,6 +171,7 @@ def ngram_jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "_gram": pa.array(gk.view(np.int64)),
             "id": pa.array(ids[doc_idx[keep]]),
             "size": pa.array(sizes[doc_idx[keep]]),
+            "rank": pa.array(rank[keep].astype(np.int32)),
             "_bucket": pa.array((gk % np.uint64(num_buckets)).astype(np.int64)),
         })
 
@@ -132,8 +179,9 @@ def ngram_jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         gram = df["_gram"].to_numpy()
         ids = df["id"].to_numpy()
         sz = df["size"].to_numpy()
+        rk = df["rank"].to_numpy().astype(np.int64)
         order = np.lexsort((ids, gram))
-        gram, ids, sz = gram[order], ids[order], sz[order]
+        gram, ids, sz, rk = gram[order], ids[order], sz[order], rk[order]
         starts = (np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
                   if len(gram) else np.empty(0, dtype=np.int64))
         sizes = np.diff(np.r_[starts, len(gram)])
@@ -154,6 +202,15 @@ def ngram_jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         # size filter: jaccard >= t forces t*max(na,nb) <= min(na,nb)
         na, nb = sz[ia], sz[ib]
         ok = t * np.maximum(na, nb) <= np.minimum(na, nb)
+        # positional filter (ppjoin, Xiao et al. 2008): for the first
+        # shared prefix gram at 0-based ranks (ra, rb), the overlap can
+        # be at most min(na - ra, nb - rb), and J >= t needs overlap >=
+        # t/(1+t) * (na+nb). A pair's FIRST shared gram satisfies this
+        # whenever J >= t, so filtering every emission keeps exactness
+        # (the pair survives via that group; epsilon guards the float
+        # boundary conservatively).
+        o_max = np.minimum(na - rk[ia], nb - rk[ib])
+        ok &= o_max + 1e-9 >= t / (1.0 + t) * (na + nb)
         a, b = ids[ia[ok]], ids[ib[ok]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         lo, hi = _dedup_pairs_arrays(lo.astype(np.uint64), hi.astype(np.uint64))
@@ -200,13 +257,27 @@ def jaccard_ngram_verify(pairs_ds, docs_ds, *, id_col: str = "doc_id",
     joined = hash_join(joined, docs_b, "id_b", num_buckets=num_buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sa = _gram_sets(df["text_a"].tolist(), ngram)
-        sb = _gram_sets(df["text_b"].tolist(), ngram)
-        jac = np.zeros(len(df), dtype=np.float64)
-        for i, (a, b) in enumerate(zip(sa, sb)):
+        # gram sets computed ONCE PER UNIQUE TEXT (factorize — a doc in
+        # k candidate pairs is hashed once, not k times; same device as
+        # dedup.jaccard_verify_distributed, measured 11x there), and the
+        # per-pair intersection is a searchsorted count over the
+        # presorted unique arrays instead of intersect1d's
+        # concat+sort-per-call
+        texts = pd.concat([df["text_a"], df["text_b"]], ignore_index=True)
+        codes, uniq = pd.factorize(texts.fillna(""))
+        sets = _gram_sets(list(uniq), ngram)
+        n = len(df)
+        ca, cb = codes[:n], codes[n:]
+        jac = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            a, b = sets[ca[i]], sets[cb[i]]
             if len(a) == 0 or len(b) == 0:
                 continue  # SQL emits no rows for gram-less docs
-            inter = len(np.intersect1d(a, b, assume_unique=True))
+            if len(a) > len(b):
+                a, b = b, a
+            pos = np.searchsorted(b, a)
+            pos[pos == len(b)] = len(b) - 1
+            inter = int((b[pos] == a).sum())
             jac[i] = inter / (len(a) + len(b) - inter)
         out = df[["id_a", "id_b"]].copy()
         out["jaccard"] = jac
