@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "pip_anti_count", "pip_labels", "stratified_sample",
     "subsample_docs", "time_coverage", "top_orders", "utm_raster",
     "value_quantiles_cont", "gap_flags", "geoloc_refined_full",
-    "minhash_verified",
+    "minhash_verified", "incremental_curation", "compression_stats",
 ]
 
 
@@ -147,8 +147,12 @@ def run_bench() -> dict:
     # no enrich_concurrency cap: setting map_batches concurrency makes the
     # enrich stage a separate operator (no fusion with ReadParquet), which
     # round-trips every input block through the object store
+    # 4 read blocks per CPU: at 1 block/CPU the read/enrich wave has no
+    # load-balancing slack and the fold/write tail idles CPUs (measured
+    # at 32 CPUs: 20.1/21.2 s at 1x vs 15.9/15.2 s at 2-4x; at 16 CPUs
+    # 24.8-27.2 s vs 23.1-23.7 s)
     run_flagship_full(PAGES_DIR, out_dir, num_out_shards=max(16, NUM_CPUS),
-                      grid=bench_grid, read_blocks=max(16, NUM_CPUS))
+                      grid=bench_grid, read_blocks=max(16, 4 * NUM_CPUS))
     headline = time.perf_counter() - t0
 
     qtimes = {}

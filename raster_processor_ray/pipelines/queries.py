@@ -3339,6 +3339,18 @@ def q_corpus_upsert(sf_dir: str):
     return read_resumable(corpus)
 
 
+def q_compression_stats(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal (Gopher-style
+    boilerplate/noise filter) over the documents table — one streamed
+    stateless pass, no exchange. Rows-only (no SQL gzip); exact
+    compressed byte counts pinned by golden tests
+    (tests/test_docs_stages.py)."""
+    from ..stages.webtext import compression_stats_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(compression_stats_batch, batch_format="pyarrow")
+
+
 def q_incremental_curation(sf_dir: str):
     """The COMPOSED incremental-ingest loop a crawl pipeline runs per
     snapshot: new batch (doc_id % 5 == 0) -> probe the corpus's
@@ -4387,6 +4399,7 @@ def queries() -> dict:
         "canonical_docs": q_canonical_docs,
         "minhash_probe": q_minhash_probe,
         "incremental_curation": q_incremental_curation,
+        "compression_stats": q_compression_stats,
         "pq_top5": q_pq_top5,
         "ivf_pq_top5": q_ivf_pq_top5,
         "kmeans_clusters": q_kmeans_clusters,

@@ -294,3 +294,37 @@ def duplicate_span_stats(ds, *, text_col: str = "text",
         return df[[id_col, "n_grams", "n_dup", "dup_frac"]]
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def compression_stats_batch(batch: pa.Table, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio — the Gopher/RefinedWeb-style
+    "too compressible = boilerplate, too incompressible = noise" quality
+    signal, computable with the stdlib alone. Deterministic for a fixed
+    zlib version/level, so the byte counts are exact and reproducible;
+    there is no SQL gzip, hence rows-only at the driver gate with golden
+    tests pinning the exact compressed sizes.
+
+    Per-row C calls (zlib releases the GIL per call; the payload work
+    dominates) inside a stateless map — the scale shape is one streamed
+    pass, no exchange."""
+    import zlib
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = batch.num_rows
+    n_bytes = np.zeros(n, dtype=np.int64)
+    n_comp = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(col.to_pylist()):
+        raw = (t or "").encode("utf-8")
+        n_bytes[i] = len(raw)
+        n_comp[i] = len(zlib.compress(raw, level))
+    ratio = n_comp / np.maximum(n_bytes, 1)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_bytes": pa.array(n_bytes),
+        "n_compressed": pa.array(n_comp),
+        "compression_ratio": pa.array(ratio),
+    })

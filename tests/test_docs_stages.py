@@ -453,3 +453,30 @@ class TestIvfIndex:
         np.testing.assert_array_equal(a.vec_id.to_numpy(), b.vec_id.to_numpy())
         np.testing.assert_allclose(a.cosine.to_numpy(), b.cosine.to_numpy(),
                                    rtol=1e-9)
+
+
+class TestCompressionStats:
+    def test_exact_sizes_and_ordering(self, ray_session):
+        import zlib
+
+        import ray.data as rd
+
+        from raster_processor_ray.stages.webtext import compression_stats_batch
+
+        rep = "the same sentence again and again. " * 40   # compressible
+        rnd = "qx9#kL!2mZ@7vB$4nW^8cR&5tY*1uI(3oP)6aS_0dF"  # high entropy
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([rep, rnd, None])})
+        out = compression_stats_batch(t).to_pandas().set_index("doc_id")
+        for did, txt in [(1, rep), (2, rnd), (3, "")]:
+            raw = txt.encode()
+            assert out.loc[did, "n_bytes"] == len(raw)
+            assert out.loc[did, "n_compressed"] == len(zlib.compress(raw, 6))
+        assert (out.loc[1, "compression_ratio"]
+                < out.loc[2, "compression_ratio"])
+
+    def test_query_runs(self, ray_session):
+        from raster_processor_ray.pipelines.queries import q_compression_stats
+
+        df = q_compression_stats(SF).to_pandas()
+        assert len(df) == 500 and (df.n_compressed > 0).all()
