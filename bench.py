@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "pip_anti_count", "pip_labels", "stratified_sample",
     "subsample_docs", "time_coverage", "top_orders", "utm_raster",
     "value_quantiles_cont", "gap_flags", "geoloc_refined_full",
-    "minhash_verified", "incremental_curation", "compression_stats",
+    "minhash_verified", "incremental_curation", "compression_stats", "audio_decode",
 ]
 
 

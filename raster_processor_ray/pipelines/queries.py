@@ -1509,6 +1509,64 @@ def q_media_decode(sf_dir: str):
                                      "mean_f0": ("f0", "mean")})
 
 
+def q_audio_decode(sf_dir: str):
+    """Audio modality end-to-end: synthetic WAV payloads (sine tones
+    keyed by doc_id, ENCODED ONCE PER ACTOR) — real stdlib PCM decode
+    for 4 of 5 docs, raw bytes for the rest to exercise the non-WAV
+    fallback — through the small-batch actor-pool decoder, then a
+    per-source feature mean. Rows-only; golden decode fixtures in
+    tests/test_png.py (TestAudio)."""
+    from ..stages.media import DecodeAudioStub
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    class ToWav:
+        def __init__(self):
+            from ..stages.media import encode_wav
+            self.wavs = []
+            for k in range(64):
+                sr = 8000
+                n = 400 + 25 * k
+                tt = np.arange(n) / sr
+                freq = 200.0 + 50.0 * (k % 8)
+                x = (0.5 * np.sin(2 * np.pi * freq * tt) * 32767).astype(
+                    np.int16)
+                self.wavs.append(encode_wav(x, sr))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            texts = [t or "" for t in b["text"].to_pylist()]
+            payload = [self.wavs[i % 64] if i % 5 else t.encode()
+                       for i, t in zip(ids, texts)]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "payload": pa.array(payload, type=pa.binary()),
+            })
+
+    decoded = ds.map_batches(ToWav, batch_format="pyarrow",
+                             concurrency=actor_pool_size(0.5), num_cpus=0.5) \
+        .map_batches(DecodeAudioStub, batch_format="pyarrow",
+                     batch_size=512, concurrency=actor_pool_size(0.5),
+                     num_cpus=0.5)
+
+    def first_feat(b: pa.Table) -> pa.Table:
+        feats = b["audio_features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        f = np.asarray(feats.values, dtype=np.float64).reshape(
+            b.num_rows, -1)
+        return pa.table({"source": b["source"],
+                         "sr": b["audio_sr"],
+                         "rms": pa.array(f[:, 1]),
+                         "zcr": pa.array(f[:, 2])})
+
+    return hash_aggregate(
+        decoded.map_batches(first_feat, batch_format="pyarrow"),
+        "source", {"n": (None, "count"), "mean_sr": ("sr", "mean"),
+                   "mean_rms": ("rms", "mean"), "mean_zcr": ("zcr", "mean")})
+
+
 def q_langid(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pandas",
@@ -4400,6 +4458,7 @@ def queries() -> dict:
         "minhash_probe": q_minhash_probe,
         "incremental_curation": q_incremental_curation,
         "compression_stats": q_compression_stats,
+        "audio_decode": q_audio_decode,
         "pq_top5": q_pq_top5,
         "ivf_pq_top5": q_ivf_pq_top5,
         "kmeans_clusters": q_kmeans_clusters,

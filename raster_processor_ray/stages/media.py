@@ -39,6 +39,125 @@ DECODE_IMAGE_APPENDED_SCHEMA = pa.schema([
 FRAME_SAMPLE_APPENDED_SCHEMA = pa.schema([
     ("frame_no", pa.int64()),
 ])
+DECODE_AUDIO_FEATURE_DIM = 8
+DECODE_AUDIO_APPENDED_SCHEMA = pa.schema([
+    ("audio_sr", pa.int64()),
+    ("audio_samples", pa.int64()),
+    ("audio_features", pa.list_(pa.float32(), DECODE_AUDIO_FEATURE_DIM)),
+])
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 mono PCM -> WAV bytes (stdlib ``wave``; deterministic)."""
+    import io
+    import wave
+
+    s = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1, 1], sample_rate).
+    16-bit and 8-bit PCM; multi-channel averages to mono. Raises
+    ``ValueError`` for anything the stdlib reader rejects."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:                     # unsigned 8-bit per WAV spec
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def audio_features(x: np.ndarray, sr: int) -> np.ndarray:
+    """(n,) float samples -> the 8-dim feature vector of the decode
+    contract: duration_s, rms, zero-crossing rate, peak, and the
+    fraction of spectral energy in 4 log-ish bands (0-250, 250-1k,
+    1k-4k, >=4k Hz) from one rFFT."""
+    f = np.zeros(DECODE_AUDIO_FEATURE_DIM, dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        return f
+    f[0] = n / sr
+    f[1] = float(np.sqrt(np.mean(x * x)))
+    f[2] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    f[3] = float(np.max(np.abs(x)))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    total = spec.sum()
+    if total > 0:
+        for i, (lo, hi) in enumerate([(0, 250), (250, 1000),
+                                      (1000, 4000), (4000, np.inf)]):
+            f[4 + i] = spec[(freqs >= lo) & (freqs < hi)].sum() / total
+    return f
+
+
+class DecodeAudioStub:
+    """Decode an audio binary column -> (sample_rate, n_samples) + a
+    fixed-size feature vector. WAV payloads (RIFF magic) decode FOR REAL
+    via the stdlib ``wave`` reader — features come from actual PCM.
+    Compressed formats need absent codec libs (mp3/opus): strict=True
+    raises for them, strict=False substitutes the deterministic
+    byte-derived fake (same device as :class:`DecodeImageStub`)."""
+
+    FEATURE_DIM = DECODE_AUDIO_FEATURE_DIM
+
+    def __init__(self, binary_col: str = "payload", strict: bool = False):
+        self.binary_col = binary_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.binary_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pa.compute.binary_length(col).to_numpy(zero_copy_only=False)
+        lengths = np.where(np.isnan(lengths.astype(np.float64)), 0,
+                           lengths).astype(np.int64)
+        h = splitmix64(lengths.astype(np.uint64) + np.uint64(0xA0D10))
+        sr = (np.uint64(8000) + (h % np.uint64(4)) * np.uint64(8000)).astype(np.int64)
+        nsamp = ((h >> np.uint64(16)) % np.uint64(160_000)).astype(np.int64)
+        feats = np.stack([
+            splitmix64(h + np.uint64(i)).astype(np.float64) / 2**64
+            for i in range(self.FEATURE_DIM)], axis=1)
+        for i in range(batch.num_rows):
+            v = col[i].as_py()
+            if v is None or not v.startswith(b"RIFF"):
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires a codec library "
+                        "(libsndfile/ffmpeg), not available here")
+                continue
+            try:
+                x, rate = decode_wav(v)
+            except Exception:
+                if self.strict:
+                    raise
+                continue
+            sr[i], nsamp[i] = rate, len(x)
+            feats[i] = audio_features(x, rate)
+        out = batch.append_column("audio_sr", pa.array(sr))
+        out = out.append_column("audio_samples", pa.array(nsamp))
+        return out.append_column(
+            "audio_features", pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()),
+                self.FEATURE_DIM))
 
 
 def image_features(px: np.ndarray) -> np.ndarray:

@@ -110,3 +110,59 @@ def test_roundtrip_property(h, w, c, f, seed):
     rng = np.random.default_rng(seed)
     a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
     assert (decode_png(encode_png(a, filter_type=f)) == a).all()
+
+
+class TestAudio:
+    """Real WAV decode lane (stdlib wave) + fake fallback, mirroring the
+    PNG image contract."""
+
+    def test_wav_roundtrip_and_golden_features(self):
+        from raster_processor_ray.stages.media import (audio_features,
+                                                       decode_wav,
+                                                       encode_wav)
+        sr = 8000
+        t = np.arange(800) / sr
+        x = (0.5 * np.sin(2 * np.pi * 200.0 * t) * 32767).astype(np.int16)
+        dec, got_sr = decode_wav(encode_wav(x, sr))
+        assert got_sr == sr and len(dec) == 800
+        np.testing.assert_allclose(dec, x / 32768.0, atol=0)
+        f = audio_features(dec, sr)
+        assert f[0] == pytest.approx(0.1)            # 800 / 8000 s
+        assert f[1] == pytest.approx(0.5 / np.sqrt(2), rel=2e-3)  # sine rms
+        # 200 Hz sine: 2 crossings per period, 20 periods in 800 samples
+        assert f[2] == pytest.approx(40 / 799, abs=2 / 799)
+        assert f[4] > 0.99                           # all energy < 250 Hz
+        # 8-bit + stereo path
+        x8 = ((np.sin(2 * np.pi * 100.0 * t) * 127) + 128).astype(np.uint8)
+        import io, wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(1)
+            w.setframerate(sr)
+            w.writeframes(np.repeat(x8, 2).tobytes())
+        dec2, _ = decode_wav(buf.getvalue())
+        assert len(dec2) == 800
+
+    def test_stage_mixed_real_and_fake(self):
+        from raster_processor_ray.stages import media
+
+        sr = 16000
+        x = (0.25 * np.sin(2 * np.pi * 440.0 * np.arange(1600) / sr)
+             * 32767).astype(np.int16)
+        t = pa.table({"payload": pa.array(
+            [media.encode_wav(x, sr), b"not audio"], type=pa.binary())})
+        dec = media.DecodeAudioStub()(t)
+        assert dec["audio_sr"][0].as_py() == sr
+        assert dec["audio_samples"][0].as_py() == 1600
+        # appended schema contract
+        appended = pa.schema([dec.schema.field(i)
+                              for i in range(1, dec.num_columns)])
+        assert appended.equals(media.DECODE_AUDIO_APPENDED_SCHEMA)
+        # fake row deterministic; strict raises only for non-WAV
+        dec2 = media.DecodeAudioStub()(t)
+        assert (dec["audio_sr"][1].as_py() == dec2["audio_sr"][1].as_py())
+        strict = media.DecodeAudioStub(strict=True)
+        assert strict(t.slice(0, 1))["audio_sr"][0].as_py() == sr
+        with pytest.raises(NotImplementedError):
+            strict(t)
