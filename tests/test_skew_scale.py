@@ -83,3 +83,33 @@ def test_rasterize_hot_cell_exact():
     want_mean = v[cell == 55].mean()
     got_mean = float(hot["mean_value"].iloc[0])
     assert abs(got_mean - want_mean) < 1e-9
+
+
+class TestDiagnoseSkew:
+    def test_detects_planted_hot_key(self, ray_session):
+        import ray.data as rd
+
+        from raster_processor_ray.state.diagnose import diagnose_skew
+
+        # 10k rows uniform over 1000 keys + one key with 5k extra rows
+        ks = np.concatenate([np.arange(10_000, dtype=np.int64) % 1000,
+                             np.full(5_000, 7, dtype=np.int64)])
+        ds = rd.from_arrow(pa.table({"k": pa.array(ks)})).repartition(8)
+        d = diagnose_skew(ds, "k", num_buckets=32, hot_k=50)
+        assert d["total_rows"] == 15_000
+        assert d["imbalance"] > 2.0           # the hot bucket stands out
+        hot = d["hot_keys"]
+        assert int(hot.iloc[0]["key"]) == 7
+        assert int(hot.iloc[0]["n"]) == 5_010
+        assert int(hot.iloc[0]["salt_factor"]) >= 10
+
+    def test_uniform_is_balanced(self, ray_session):
+        import ray.data as rd
+
+        from raster_processor_ray.state.diagnose import diagnose_skew
+
+        ks = np.arange(20_000, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"k": pa.array(ks)})).repartition(8)
+        d = diagnose_skew(ds, "k", num_buckets=32, hot_k=50)
+        assert d["imbalance"] < 1.2
+        assert len(d["hot_keys"]) == 0
