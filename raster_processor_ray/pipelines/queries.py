@@ -2601,6 +2601,44 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets_pricing(sf_dir: str):
+    """ANSI GROUP BY GROUPING SETS over an arbitrary (non-rollup,
+    non-cube) set list: ((returnflag, linestatus), (linestatus), ()) —
+    one input scan, each set refolded from the bounded finest level
+    (aggregate/cube.py grouping_sets_aggregate)."""
+    from ..aggregate.cube import grouping_sets_aggregate
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "cents": pa.array(np.floor(
+                np.asarray(b["l_extendedprice"]) * 100.0 + 0.5
+            ).astype(np.int64)),
+        })
+
+    return grouping_sets_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        {"n": (None, "count"), "sum_cents": ("cents", "sum")})
+
+
+SQL_GROUPING_SETS_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 def q_doc_keywords(sf_dir: str):
     """TF-IDF keywords (pipelines/tfidf.py): top-3 most characteristic
     vocabulary terms per document — vocab + document frequencies in
@@ -4379,6 +4417,7 @@ def queries() -> dict:
         # -- 51+: remaining oracle-backed, not yet driver-verified --
         "top_collocations": q_top_collocations,
         "domain_quality": q_domain_quality,
+        "grouping_sets_pricing": q_grouping_sets_pricing,
         "radius_join_sites": q_radius_join,
         "event_deltas": q_event_deltas,
         "zorder_keys": q_zorder_keys,
@@ -4536,6 +4575,7 @@ def oracle_sql() -> dict:
         "vocab_encode": SQL_VOCAB_ENCODE,
         "lang_sample": SQL_LANG_SAMPLE,
         "cube_pricing": SQL_CUBE_PRICING,
+        "grouping_sets_pricing": SQL_GROUPING_SETS_PRICING,
         "doc_keywords": SQL_DOC_KEYWORDS,
         "name_edit_pairs": SQL_NAME_EDIT_PAIRS,
         "embed_dim_stats": SQL_EMBED_DIM_STATS,
