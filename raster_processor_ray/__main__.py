@@ -14,6 +14,8 @@
         [--id-col C] [--text-col C] [--threshold J]
         [--num-perm P] [--num-bands B]
     python -m raster_processor_ray query     <name|list> [--sf-dir D] [--out D]
+    python -m raster_processor_ray diagnose  <parquet> --key COL
+        [--buckets B] [--hot-k K]
 
 Owns its Ray session (guarded init: on a cluster, `ray job submit` has
 RAY_ADDRESS set and the existing session is used).
@@ -75,6 +77,11 @@ def main(argv=None):
     s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     s.add_argument("--out", default=None,
                    help="optional parquet output directory")
+    s = sub.add_parser("diagnose")
+    s.add_argument("table", help="parquet path to diagnose")
+    s.add_argument("--key", required=True, help="shuffle key column")
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--hot-k", type=int, default=100)
     s = sub.add_parser("scrub")
     s.add_argument("corpus", help="resumable layout directory to audit")
     s.add_argument("--shallow", action="store_true",
@@ -134,6 +141,22 @@ def main(argv=None):
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             print(json.dumps({"query": args.name, "rows": int(len(df)),
                               "columns": list(map(str, df.columns))}))
+            return 0
+
+        if args.cmd == "diagnose":
+            from .state.diagnose import diagnose_skew
+
+            d = diagnose_skew(rd.read_parquet(args.table), args.key,
+                              num_buckets=args.buckets, hot_k=args.hot_k)
+            print(json.dumps({
+                "table": args.table, "key": args.key,
+                "total_rows": d["total_rows"],
+                "num_buckets": d["num_buckets"],
+                "mean_bucket_rows": d["mean_bucket_rows"],
+                "max_bucket_rows": d["max_bucket_rows"],
+                "imbalance": round(d["imbalance"], 3),
+                "hot_keys": d["hot_keys"].to_dict("records"),
+            }))
             return 0
 
         if args.cmd == "scrub":
