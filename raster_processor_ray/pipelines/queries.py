@@ -308,16 +308,23 @@ FROM dots QUALIFY knn_rank <= 3
 
 def q_filter_revenue(sf_dir: str):
     """S2/M1 load-time predicate + M9-style per-row arithmetic (row-level
-    floats are bit-exact across engines)."""
+    floats are bit-exact across engines). The predicate is PUSHED INTO
+    the parquet read (``filter=`` expression -> pyarrow scanner): row
+    groups whose min/max statistics exclude the predicate never leave
+    storage, and non-matching rows never reach a Ray block — the
+    scale-correct form of the reference's load-time class filter
+    (swot_pixc2raster.py:171-180)."""
+    import pyarrow.dataset as pads
+
+    expr = (pads.field("l_returnflag").isin(["A", "R"])
+            & (pads.field("l_shipdate")
+               < np.datetime64("1996-01-01", "us")))
     ds = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_linenumber", "l_returnflag",
-                             "l_shipdate", "l_extendedprice", "l_discount"])
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice", "l_discount"],
+                    filter=expr)
 
     def f(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.is_in(b["l_returnflag"], value_set=pa.array(["A", "R"])),
-                    pc.less(b["l_shipdate"], pa.scalar(
-                        np.datetime64("1996-01-01", "us"))))
-        b = b.filter(m)
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(
             pa.scalar(1.0), b["l_discount"]))
         b = b.append_column("revenue", rev)
