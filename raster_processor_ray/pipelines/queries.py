@@ -3956,10 +3956,15 @@ def q_label_centroids(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partials(b: pa.Table) -> pa.Table:
-        m = _as_matrix(b["embedding"]).astype(np.float64)
+        # per-value int64 micro-quantization BEFORE summation: float
+        # sums are order-sensitive in the last ulp (a threaded oracle
+        # or different block order can flip a rounding boundary);
+        # integer sums are order-free exact in both engines
+        m = np.floor(_as_matrix(b["embedding"]).astype(np.float64)
+                     * 1e6).astype(np.int64)
         lab = np.asarray(b["label"], dtype=np.int64)
         uniq, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(uniq), m.shape[1]))
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.int64)
         np.add.at(sums, inv, m)
         return pa.table({"label": uniq,
                          "vsum": pa.array(list(sums)),
@@ -3967,12 +3972,14 @@ def q_label_centroids(sf_dir: str):
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         label = int(df["label"].iloc[0])
-        total = np.sum(np.stack(df["vsum"].to_numpy()), axis=0)
-        mean = np.round(total / df["n"].sum(), 6)
-        return pd.DataFrame({"label": np.full(len(mean), label,
+        total = np.sum(np.stack(df["vsum"].to_numpy()), axis=0,
+                       dtype=np.int64)
+        n = int(df["n"].sum())
+        return pd.DataFrame({"label": np.full(len(total), label,
                                               dtype=np.int64),
-                             "dim": np.arange(len(mean), dtype=np.int64),
-                             "mean_val": mean})
+                             "dim": np.arange(len(total), dtype=np.int64),
+                             "sum_micro": total,
+                             "n": np.full(len(total), n, dtype=np.int64)})
 
     from ..util import pin_for_shuffle
     parts = pin_for_shuffle(ds.map_batches(partials, batch_format="pyarrow"))
@@ -3980,7 +3987,10 @@ def q_label_centroids(sf_dir: str):
 
 
 SQL_LABEL_CENTROIDS = """
-SELECT label, dim, round(avg(val), 6) AS mean_val
+SELECT label, dim,
+       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+       count(*) AS n
 FROM (SELECT label, unnest(embedding) AS val,
              unnest(range(len(embedding))) AS dim
       FROM embeddings)
@@ -4148,7 +4158,12 @@ GROUP BY a.iy, a.ix
 
 def q_track_lengths(sf_dir: str):
     """Per-user geodesic track length over ts-ordered geotagged events
-    (haversine, mean-radius sphere); users with >= 2 events."""
+    (haversine, mean-radius sphere); users with >= 2 events. Legs are
+    quantized to int64 MILLIMETERS before summation in BOTH engines:
+    float leg sums are order-sensitive in the last ulp (DuckDB's
+    threaded aggregate combined them in a run-dependent order and
+    flipped a round(,3) boundary once at sf0.1), integer sums are
+    order-free exact."""
     from ..stages.trajectory import track_stats
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
@@ -4159,7 +4174,8 @@ def q_track_lengths(sf_dir: str):
         return b.append_column("lon", pa.array(lon))
 
     return track_stats(ds.map_batches(add_geo, batch_format="pyarrow"),
-                       "user_id", "ts", "lat", "lon", tie_col="event_id")
+                       "user_id", "ts", "lat", "lon", tie_col="event_id",
+                       leg_scale=1e3)
 
 
 SQL_TRACK_LENGTHS = f"""
@@ -4177,7 +4193,7 @@ d AS (SELECT user_id,
               * pow(sin(radians(lon - plon) / 2.0), 2)))) AS seg
       FROM l WHERE plat IS NOT NULL)
 SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_points,
-       round(sum(seg), 3) AS track_m
+       CAST(sum(CAST(floor(seg * 1000.0) AS BIGINT)) AS BIGINT) AS track_q
 FROM d GROUP BY user_id
 """
 

@@ -23,10 +23,17 @@ from ..util import pin_for_shuffle
 
 def track_stats(ds, key: str, ts_col: str, lat_col: str, lon_col: str, *,
                 tie_col: str | None = None, num_buckets: int = 64,
-                round_decimals: int = 3):
+                round_decimals: int = 3, leg_scale: float | None = None):
     """-> (key, n_points, track_m) for every key with >= 2 points:
     point count and total great-circle path length over the
-    (ts, tie_col)-ordered track."""
+    (ts, tie_col)-ordered track.
+
+    ``leg_scale``: quantize each LEG to ``floor(leg * leg_scale)`` int64
+    BEFORE summation and emit integer ``track_q`` instead of float
+    ``track_m``. Float leg sums are order-sensitive in the last ulp, so
+    any engine (this one, or a threaded SQL oracle) that combines legs
+    in a different order can flip a rounding boundary; integer leg sums
+    are order-free exact. Use e.g. ``leg_scale=1e3`` for millimeters."""
     from ..aggregate.relational import _key_bucket
 
     sort_cols = [key, ts_col] + ([tie_col] if tie_col else [])
@@ -40,10 +47,12 @@ def track_stats(ds, key: str, ts_col: str, lat_col: str, lon_col: str, *,
         df = df.drop(columns=["_bucket"]).sort_values(
             sort_cols, kind="mergesort").reset_index(drop=True)
         n = len(df)
+        out_val = "track_q" if leg_scale is not None else "track_m"
+        out_dtype = np.int64 if leg_scale is not None else np.float64
         if n == 0:
             return pd.DataFrame({key: pd.Series(dtype=df[key].dtype),
                                  "n_points": pd.Series(dtype=np.int64),
-                                 "track_m": pd.Series(dtype=np.float64)})
+                                 out_val: pd.Series(dtype=out_dtype)})
         k = df[key].to_numpy()
         lat = df[lat_col].to_numpy(dtype=np.float64)
         lon = df[lon_col].to_numpy(dtype=np.float64)
@@ -52,15 +61,19 @@ def track_stats(ds, key: str, ts_col: str, lat_col: str, lon_col: str, *,
         seg = np.zeros(n)
         seg[1:] = haversine_m(lat[:-1], lon[:-1], lat[1:], lon[1:])
         seg[~same] = 0.0
+        if leg_scale is not None:
+            seg = np.floor(seg * leg_scale)     # int-valued; order-free sum
         out = pd.DataFrame({key: k, "seg": seg,
                             "is_seg": same.astype(np.int64)})
         g = out.groupby(key, as_index=False).agg(
             n_seg=("is_seg", "sum"), track_m=("seg", "sum"))
         g = g[g["n_seg"] >= 1]
+        val = (g["track_m"].to_numpy(dtype=np.int64) if leg_scale is not None
+               else np.round(g["track_m"].to_numpy(), round_decimals))
         return pd.DataFrame({
             key: g[key].to_numpy(),
             "n_points": (g["n_seg"] + 1).to_numpy(dtype=np.int64),
-            "track_m": np.round(g["track_m"].to_numpy(), round_decimals)})
+            out_val: val})
 
     return (pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))
             .groupby("_bucket")
