@@ -46,3 +46,25 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
 def read_pages(path: str, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
     """Read a pages parquet dataset (file, dir, or list of shards)."""
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_any(path: str, columns: list[str] | None = None,
+             **kwargs) -> rd.Dataset:
+    """Format-dispatching reader: .parquet (column-pruned at the read),
+    .csv, .json/.jsonl (line-delimited) — Ray Data natives behind one
+    entry point. Non-parquet formats are row-oriented text: column
+    pruning can only happen AFTER parse, so ``columns`` becomes a
+    post-read projection for them (prefer parquet for anything large —
+    this exists for ingest interop, not the hot path)."""
+    low = path.lower()
+    if low.endswith((".parquet", ".pq")) or os.path.isdir(path):
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if low.endswith(".csv"):
+        ds = rd.read_csv(path, **kwargs)
+    elif low.endswith((".json", ".jsonl", ".ndjson")):
+        ds = rd.read_json(path, **kwargs)
+    else:
+        raise ValueError(f"unsupported source format: {path}")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

@@ -480,3 +480,28 @@ class TestCompressionStats:
 
         df = q_compression_stats(SF).to_pandas()
         assert len(df) == 500 and (df.n_compressed > 0).all()
+
+
+class TestReadAny:
+    def test_formats_agree(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from raster_processor_ray.sources.tables import read_any
+
+        df = pd.DataFrame({"a": np.arange(50, dtype=np.int64),
+                           "b": [f"s{i}" for i in range(50)],
+                           "c": np.arange(50) * 0.5})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "t.parquet"))
+        df.to_csv(tmp_path / "t.csv", index=False)
+        df.to_json(tmp_path / "t.jsonl", orient="records", lines=True)
+        frames = {}
+        for ext in ("parquet", "csv", "jsonl"):
+            got = read_any(str(tmp_path / f"t.{ext}"),
+                           columns=["a", "b"]).to_pandas()
+            frames[ext] = got.sort_values("a").reset_index(drop=True)
+            assert list(got.columns) == ["a", "b"]
+        pd.testing.assert_frame_equal(frames["parquet"], frames["csv"])
+        pd.testing.assert_frame_equal(frames["parquet"], frames["jsonl"])
+        with pytest.raises(ValueError):
+            read_any(str(tmp_path / "t.xml"))
