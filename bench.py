@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "subsample_docs", "time_coverage", "top_orders", "utm_raster",
     "value_quantiles_cont", "gap_flags", "geoloc_refined_full",
     "minhash_verified", "incremental_curation", "compression_stats", "audio_decode",
-    "grouping_sets_pricing",
+    "grouping_sets_pricing", "frame_sample",
 ]
 
 

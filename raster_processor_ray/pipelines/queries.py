@@ -1574,6 +1574,49 @@ def q_audio_decode(sf_dir: str):
                    "mean_rms": ("rms", "mean"), "mean_zcr": ("zcr", "mean")})
 
 
+def q_frame_sample(sf_dir: str):
+    """Video modality end-to-end: synthetic uncompressed AVIs (stdlib
+    codec, functions/avi.py; ENCODED ONCE PER ACTOR) — real RIFF frame
+    sampling for 4 of 5 docs, raw bytes for the rest through the fake
+    fan-out lane — then frames-per-source counts. Rows-only; codec
+    golden tests in tests/test_png.py (TestVideo)."""
+    from ..stages.media import FrameSampleStub
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    class ToAvi:
+        def __init__(self):
+            from ..functions.avi import encode_avi
+            self.avis = []
+            for k in range(16):
+                nf = 6 + 2 * (k % 5)
+                frames = [np.full((4, 6, 3), (k * 31 + j * 7) % 256,
+                                  dtype=np.uint8) for j in range(nf)]
+                self.avis.append(encode_avi(frames, fps=10))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            texts = [t or "" for t in b["text"].to_pylist()]
+            payload = [self.avis[i % 16] if i % 5 else t.encode()
+                       for i, t in zip(ids, texts)]
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "payload": pa.array(payload, type=pa.binary()),
+            })
+
+    sampled = ds.map_batches(ToAvi, batch_format="pyarrow",
+                             concurrency=actor_pool_size(0.5), num_cpus=0.5) \
+        .map_batches(FrameSampleStub, fn_constructor_args=("payload", 3, 4),
+                     batch_format="pyarrow", batch_size=512,
+                     concurrency=actor_pool_size(0.5), num_cpus=0.5)
+    return hash_aggregate(
+        sampled.map_batches(lambda b: b.select(["source", "frame_no"]),
+                            batch_format="pyarrow"),
+        "source", {"n_frames": (None, "count"),
+                   "max_frame_no": ("frame_no", "max")})
+
+
 def q_langid(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pandas",
@@ -4521,6 +4564,7 @@ def queries() -> dict:
         "incremental_curation": q_incremental_curation,
         "compression_stats": q_compression_stats,
         "audio_decode": q_audio_decode,
+        "frame_sample": q_frame_sample,
         "pq_top5": q_pq_top5,
         "ivf_pq_top5": q_ivf_pq_top5,
         "kmeans_clusters": q_kmeans_clusters,

@@ -241,8 +241,13 @@ class DecodeImageStub:
 
 
 class FrameSampleStub:
-    """'Sample' n frames per video binary -> one output row per frame with
-    (frame_no, frame_payload-stub). Real frame extraction needs ffmpeg."""
+    """Sample frames per video binary -> one output row per sampled
+    frame with ``frame_no``. Uncompressed-AVI payloads (RIFF/'AVI '
+    magic) sample REAL frames via the stdlib codec (functions/avi.py):
+    the emitted frame numbers come from the file's actual frame count
+    (every ``every_n``-th, up to ``max_frames``). Compressed video
+    needs ffmpeg (absent): strict=True raises for it, strict=False
+    emits the deterministic fixed fan-out."""
 
     def __init__(self, binary_col: str = "payload", every_n: int = 10,
                  max_frames: int = 4, strict: bool = False):
@@ -252,12 +257,38 @@ class FrameSampleStub:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("video frame sampling requires ffmpeg")
-        n = batch.num_rows
-        take = np.repeat(np.arange(n, dtype=np.int64), self.max_frames)
+        from ..functions.avi import AviError, decode_avi
+
+        col = batch[self.binary_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        take_parts, frame_parts = [], []
+        for i in range(batch.num_rows):
+            v = col[i].as_py()
+            is_avi = (v is not None and len(v) >= 12
+                      and v[:4] == b"RIFF" and v[8:12] == b"AVI ")
+            if is_avi:
+                try:
+                    frames, _ = decode_avi(v)
+                    real = np.arange(0, len(frames), self.every_n,
+                                     dtype=np.int64)[: self.max_frames]
+                    take_parts.append(np.full(len(real), i, dtype=np.int64))
+                    frame_parts.append(real)
+                    continue
+                except AviError:
+                    if self.strict:
+                        raise
+            elif self.strict:
+                raise NotImplementedError(
+                    "compressed video frame sampling requires ffmpeg")
+            take_parts.append(np.full(self.max_frames, i, dtype=np.int64))
+            frame_parts.append(np.arange(self.max_frames, dtype=np.int64)
+                               * self.every_n)
+        take = (np.concatenate(take_parts) if take_parts
+                else np.empty(0, np.int64))
+        frame_no = (np.concatenate(frame_parts) if frame_parts
+                    else np.empty(0, np.int64))
         out = batch.take(pa.array(take))
-        frame_no = np.tile(np.arange(self.max_frames, dtype=np.int64) * self.every_n, n)
         return out.append_column("frame_no", pa.array(frame_no))
 
 

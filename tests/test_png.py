@@ -166,3 +166,40 @@ class TestAudio:
         assert strict(t.slice(0, 1))["audio_sr"][0].as_py() == sr
         with pytest.raises(NotImplementedError):
             strict(t)
+
+
+class TestVideo:
+    """Real uncompressed-AVI frame sampling (stdlib RIFF parsing),
+    mirroring the PNG/WAV contracts."""
+
+    def test_avi_roundtrip(self):
+        from raster_processor_ray.functions.avi import decode_avi, encode_avi
+
+        rng = np.random.default_rng(3)
+        frames = [rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        dec, fps = decode_avi(encode_avi(frames, fps=25))
+        assert fps == 25 and dec.shape == (5, 6, 9, 3)
+        for a, b in zip(frames, dec):
+            assert (a == b).all()
+
+    def test_sampler_real_and_fake(self):
+        from raster_processor_ray.functions.avi import encode_avi
+        from raster_processor_ray.stages import media
+
+        frames = [np.full((4, 4, 3), i, dtype=np.uint8) for i in range(25)]
+        t = pa.table({"vid": pa.array([1, 2], pa.int64()),
+                      "payload": pa.array(
+                          [encode_avi(frames, fps=10), b"not a video"],
+                          type=pa.binary())})
+        out = media.FrameSampleStub("payload", every_n=10, max_frames=4)(t)
+        got = out.to_pandas()
+        # real lane: 25 frames, every 10th, capped 4 -> [0, 10, 20]
+        assert got[got.vid == 1].frame_no.tolist() == [0, 10, 20]
+        # fake lane unchanged: fixed fan-out [0, 10, 20, 30]
+        assert got[got.vid == 2].frame_no.tolist() == [0, 10, 20, 30]
+        # strict: AVI ok, non-AVI raises
+        strict = media.FrameSampleStub("payload", strict=True)
+        assert strict(t.slice(0, 1)).num_rows == 3
+        with pytest.raises(NotImplementedError):
+            strict(t)
