@@ -4423,64 +4423,14 @@ GROUP BY 1, 2
 
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
-    FIRST 50 entries, so positions 1-50 are oracle-backed queries that had not
-    yet been driver-verified through round 3 (the LLM/text, graph, temporal,
-    focal-raster and relational-stats families), positions 51-63 the remaining
-    not-yet-driver-verified oracle-backed entries, then the 40 entries already
-    green in CORRECTNESS_r03.json, then the rows-only (no-oracle) entries."""
+    FIRST 50 entries. Round 5 rotates the window one final time: positions
+    1-16 are the last 16 oracle-backed queries that have never been inside
+    any round's driver window (relational-stats / window-fn / geo families),
+    positions 17-50 are 34 load-bearing regression sentinels already green in
+    CORRECTNESS_r01-r04, then the remaining oracle-backed entries (all green
+    in some prior window), then the rows-only (no-oracle) entries."""
     return {
-        # -- 1-50: oracle-backed, never driver-verified before round 4 --
-        "langid": q_langid,
-        "quality": q_quality,
-        "repetition_stats": q_repetition_stats,
-        "decontam_overlap": q_decontam_overlap,
-        "url_domains": q_url_domains,
-        "pii_scrub": q_pii_scrub,
-        "para_dedup": q_para_dedup,
-        "bm25_search": q_bm25_search,
-        "lm_perplexity": q_lm_perplexity,
-        "pack_sequences": q_pack_sequences,
-        "mixture_sample": q_mixture_sample,
-        "group_split": q_group_split,
-        "hybrid_search": q_hybrid_search,
-        "shuffle_shards": q_shuffle_shards,
-        "dup_spans": q_dup_spans,
-        "extract_roundtrip": q_extract_roundtrip,
-        "crawl_diff": q_crawl_diff,
-        "vocab_encode": q_vocab_encode,
-        "lang_sample": q_lang_sample,
-        "doc_keywords": q_doc_keywords,
-        "top_terms": q_top_terms,
-        "docs_lang_enriched": q_docs_lang_enriched,
-        "quality_filtered_counts": q_quality_filtered_counts,
-        "name_edit_pairs": q_name_edit_pairs,
-        "link_degrees": q_link_degrees,
-        "pagerank": q_pagerank,
-        "pagerank_personalized": q_pagerank_personalized,
-        "link_components": q_link_components,
-        "triangle_stats": q_triangle_stats,
-        "interval_coverage": q_interval_coverage,
-        "funnel_counts": q_funnel_counts,
-        "cohort_retention": q_cohort_retention,
-        "click_attribution": q_click_attribution,
-        "data_quality": q_data_quality,
-        "sequence_gaps": q_sequence_gaps,
-        "nation_names": q_nation_names,
-        "tile_pyramid": q_tile_pyramid,
-        "focal_mean": q_focal_mean,
-        "raster_resample": q_raster_resample,
-        "splat_gaussian": q_splat_gaussian,
-        "splat_idw": q_splat_idw,
-        "raster_regions": q_raster_regions,
-        "pip_zonal": q_pip_zonal,
-        "tile_error_report": q_tile_error_report,
-        "label_centroids": q_label_centroids,
-        "rollup_pricing": q_rollup_pricing,
-        "cube_pricing": q_cube_pricing,
-        "nation_balance_full": q_nation_balance_full,
-        "price_stats": q_price_stats,
-        "events_profile": q_events_profile,
-        # -- 51+: remaining oracle-backed, not yet driver-verified --
+        # -- 1-16: oracle-backed, never driver-verified through round 4 --
         "top_collocations": q_top_collocations,
         "domain_quality": q_domain_quality,
         "grouping_sets_pricing": q_grouping_sets_pricing,
@@ -4497,24 +4447,76 @@ def queries() -> dict:
         "lineitem_ranks": q_lineitem_ranks,
         "embed_dim_stats": q_embed_dim_stats,
         "track_lengths": q_track_lengths,
-        # -- oracle-backed, green in CORRECTNESS_r03.json --
+        # -- 17-50: regression sentinels (green in a prior driver window) --
+        "langid": q_langid,
+        "quality": q_quality,
+        "para_dedup": q_para_dedup,
+        "pii_scrub": q_pii_scrub,
+        "decontam_overlap": q_decontam_overlap,
+        "pack_sequences": q_pack_sequences,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "vocab_encode": q_vocab_encode,
+        "crawl_diff": q_crawl_diff,
+        "pagerank": q_pagerank,
+        "link_components": q_link_components,
+        "triangle_stats": q_triangle_stats,
+        "interval_coverage": q_interval_coverage,
+        "funnel_counts": q_funnel_counts,
+        "cohort_retention": q_cohort_retention,
+        "click_attribution": q_click_attribution,
+        "sequence_gaps": q_sequence_gaps,
+        "tile_pyramid": q_tile_pyramid,
+        "focal_mean": q_focal_mean,
+        "splat_gaussian": q_splat_gaussian,
+        "splat_idw": q_splat_idw,
+        "pip_zonal": q_pip_zonal,
+        "raster_regions": q_raster_regions,
+        "label_centroids": q_label_centroids,
+        "tile_error_report": q_tile_error_report,
+        "rollup_pricing": q_rollup_pricing,
+        "cube_pricing": q_cube_pricing,
         "tile_count_mean": q_tile_count_mean,
+        "pip_semi": q_pip_semi,
+        "knn_top3": q_knn_top3,
+        "pricing_summary": q_pricing_summary,
+        "dedup_docs": q_dedup_docs,
+        "ngram_jaccard": q_ngram_jaccard,
+        # -- 51+: oracle-backed, green in a prior driver window --
+        "repetition_stats": q_repetition_stats,
+        "url_domains": q_url_domains,
+        "lm_perplexity": q_lm_perplexity,
+        "mixture_sample": q_mixture_sample,
+        "group_split": q_group_split,
+        "shuffle_shards": q_shuffle_shards,
+        "dup_spans": q_dup_spans,
+        "extract_roundtrip": q_extract_roundtrip,
+        "lang_sample": q_lang_sample,
+        "doc_keywords": q_doc_keywords,
+        "top_terms": q_top_terms,
+        "docs_lang_enriched": q_docs_lang_enriched,
+        "quality_filtered_counts": q_quality_filtered_counts,
+        "name_edit_pairs": q_name_edit_pairs,
+        "link_degrees": q_link_degrees,
+        "pagerank_personalized": q_pagerank_personalized,
+        "data_quality": q_data_quality,
+        "nation_names": q_nation_names,
+        "raster_resample": q_raster_resample,
+        "nation_balance_full": q_nation_balance_full,
+        "price_stats": q_price_stats,
+        "events_profile": q_events_profile,
         "tile_weighted_mean": q_tile_weighted_mean,
         "hex_cells": q_hex_cells,
-        "pip_semi": q_pip_semi,
         "pip_anti_count": q_pip_anti_count,
         "pip_labels": q_pip_labels,
-        "knn_top3": q_knn_top3,
         "knn_bucketed": q_knn_bucketed,
         "filter_revenue": q_filter_revenue,
-        "pricing_summary": q_pricing_summary,
         "weighted_avg_price": q_weighted_avg_price,
         "segment_ratio": q_segment_ratio,
         "brand_consensus": q_brand_consensus,
         "order_mode_flag": q_order_mode_flag,
         "time_coverage": q_time_coverage,
         "dedup_users": q_dedup_users,
-        "dedup_docs": q_dedup_docs,
         "top_orders": q_top_orders,
         "sessionize": q_sessionize,
         "asof_dim": q_asof_dim,
@@ -4536,7 +4538,6 @@ def queries() -> dict:
         "geoloc_refined": q_geoloc_refined,
         "wse_corrections": q_wse_corrections,
         "region_map": q_region_map,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_cc": q_dedup_cc,
         # -- rows-only entries (no SQL oracle: sketch/ANN/side-effecting/
         #    non-SQL-expressible), each pinned by golden/property tests --
