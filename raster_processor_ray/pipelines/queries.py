@@ -1508,10 +1508,12 @@ def q_media_decode(sf_dir: str):
         f0 = np.asarray(feats.values, dtype=np.float64).reshape(
             b.num_rows, -1)[:, 0]
         return pa.table({"source": b["source"],
-                         "width": b["img_width"], "f0": pa.array(f0)})
+                         "width": b["img_width"], "f0": pa.array(f0),
+                         "real": pc.cast(b["decoded_real"], pa.int64())})
 
     return hash_aggregate(decoded.map_batches(first_feat, batch_format="pyarrow"),
                           "source", {"n": (None, "count"),
+                                     "n_real": ("real", "sum"),
                                      "mean_width": ("width", "mean"),
                                      "mean_f0": ("f0", "mean")})
 
@@ -1566,11 +1568,13 @@ def q_audio_decode(sf_dir: str):
         return pa.table({"source": b["source"],
                          "sr": b["audio_sr"],
                          "rms": pa.array(f[:, 1]),
-                         "zcr": pa.array(f[:, 2])})
+                         "zcr": pa.array(f[:, 2]),
+                         "real": pc.cast(b["decoded_real"], pa.int64())})
 
     return hash_aggregate(
         decoded.map_batches(first_feat, batch_format="pyarrow"),
-        "source", {"n": (None, "count"), "mean_sr": ("sr", "mean"),
+        "source", {"n": (None, "count"), "n_real": ("real", "sum"),
+                   "mean_sr": ("sr", "mean"),
                    "mean_rms": ("rms", "mean"), "mean_zcr": ("zcr", "mean")})
 
 
@@ -1610,10 +1614,14 @@ def q_frame_sample(sf_dir: str):
         .map_batches(FrameSampleStub, fn_constructor_args=("payload", 3, 4),
                      batch_format="pyarrow", batch_size=512,
                      concurrency=actor_pool_size(0.5), num_cpus=0.5)
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "frame_no": b["frame_no"],
+                         "real": pc.cast(b["decoded_real"], pa.int64())})
+
     return hash_aggregate(
-        sampled.map_batches(lambda b: b.select(["source", "frame_no"]),
-                            batch_format="pyarrow"),
+        sampled.map_batches(proj, batch_format="pyarrow"),
         "source", {"n_frames": (None, "count"),
+                   "n_real_frames": ("real", "sum"),
                    "max_frame_no": ("frame_no", "max")})
 
 

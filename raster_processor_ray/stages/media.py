@@ -7,7 +7,11 @@ width/height/features come from image content. Formats that need codec
 libraries absent from this container (JPEG/video) fall back to a
 deterministic byte-derived fake (or raise in strict mode) — the
 Ray-side plumbing (schema, small-batch actor pools, output layout) is
-identical either way.
+identical either way. Every lane appends a per-row ``decoded_real``
+bool so fake-feature rows are ALWAYS distinguishable downstream (on a
+real corpus where most images are JPEG, the lane must not look
+healthy while emitting majority-fake features); aggregate it for run
+metrics (see ``q_media_decode``'s ``n_real``).
 
 Scale notes encoded here: binary payloads dominate block size, so these
 stages run with small ``batch_size`` and ``batch_format='pyarrow'``
@@ -18,10 +22,20 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import actor_pool_size
 
 from ..geo.hashing import splitmix64
+
+
+def _magic_mask(col: pa.Array, magic: bytes, offset: int = 0) -> np.ndarray:
+    """Vectorized magic-byte prefilter: bool ndarray marking rows whose
+    payload carries ``magic`` at ``offset`` (null/short payloads False).
+    Only candidate rows pay the per-item Python decode loop."""
+    sl = pc.binary_slice(col, offset, offset + len(magic))
+    eq = pc.equal(sl, pa.scalar(magic, type=pa.binary()))
+    return pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
 
 
 # --- decoder drop-in contract -------------------------------------------
@@ -35,15 +49,18 @@ DECODE_IMAGE_APPENDED_SCHEMA = pa.schema([
     ("img_width", pa.int64()),
     ("img_height", pa.int64()),
     ("img_features", pa.list_(pa.float32(), DECODE_IMAGE_FEATURE_DIM)),
+    ("decoded_real", pa.bool_()),
 ])
 FRAME_SAMPLE_APPENDED_SCHEMA = pa.schema([
     ("frame_no", pa.int64()),
+    ("decoded_real", pa.bool_()),
 ])
 DECODE_AUDIO_FEATURE_DIM = 8
 DECODE_AUDIO_APPENDED_SCHEMA = pa.schema([
     ("audio_sr", pa.int64()),
     ("audio_samples", pa.int64()),
     ("audio_features", pa.list_(pa.float32(), DECODE_AUDIO_FEATURE_DIM)),
+    ("decoded_real", pa.bool_()),
 ])
 
 
@@ -136,28 +153,29 @@ class DecodeAudioStub:
         feats = np.stack([
             splitmix64(h + np.uint64(i)).astype(np.float64) / 2**64
             for i in range(self.FEATURE_DIM)], axis=1)
-        for i in range(batch.num_rows):
-            v = col[i].as_py()
-            if v is None or not v.startswith(b"RIFF"):
-                if self.strict:
-                    raise NotImplementedError(
-                        "non-WAV audio decode requires a codec library "
-                        "(libsndfile/ffmpeg), not available here")
-                continue
+        decoded_real = np.zeros(batch.num_rows, dtype=bool)
+        cand = _magic_mask(col, b"RIFF")
+        if self.strict and not cand.all():
+            raise NotImplementedError(
+                "non-WAV audio decode requires a codec library "
+                "(libsndfile/ffmpeg), not available here")
+        for i in np.flatnonzero(cand):
             try:
-                x, rate = decode_wav(v)
+                x, rate = decode_wav(col[int(i)].as_py())
             except Exception:
                 if self.strict:
                     raise
                 continue
             sr[i], nsamp[i] = rate, len(x)
             feats[i] = audio_features(x, rate)
+            decoded_real[i] = True
         out = batch.append_column("audio_sr", pa.array(sr))
         out = out.append_column("audio_samples", pa.array(nsamp))
-        return out.append_column(
+        out = out.append_column(
             "audio_features", pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.ravel(), type=pa.float32()),
                 self.FEATURE_DIM))
+        return out.append_column("decoded_real", pa.array(decoded_real))
 
 
 def image_features(px: np.ndarray) -> np.ndarray:
@@ -215,29 +233,31 @@ class DecodeImageStub:
             for i in range(self.FEATURE_DIM)], axis=1)
         # real lane: per-payload decode (image decode is inherently
         # per-item; the batch is small by design — binary payloads
-        # dominate memory, see module docstring)
-        for i in range(batch.num_rows):
-            v = col[i].as_py()
-            if v is None or not v.startswith(PNG_MAGIC):
-                if self.strict:
-                    raise NotImplementedError(
-                        "non-PNG image decode requires a codec library "
-                        "(PIL/turbojpeg), not available in this environment")
-                continue
+        # dominate memory, see module docstring). The magic-byte
+        # prefilter is vectorized so non-candidate rows never enter
+        # the Python loop.
+        decoded_real = np.zeros(batch.num_rows, dtype=bool)
+        cand = _magic_mask(col, PNG_MAGIC)
+        if self.strict and not cand.all():
+            raise NotImplementedError(
+                "non-PNG image decode requires a codec library "
+                "(PIL/turbojpeg), not available in this environment")
+        for i in np.flatnonzero(cand):
             try:
-                px = decode_png(v)
+                px = decode_png(col[int(i)].as_py())
             except PngError:
                 if self.strict:
                     raise
                 continue
             height[i], width[i] = px.shape[0], px.shape[1]
             feats[i] = image_features(px)
+            decoded_real[i] = True
         out = batch.append_column("img_width", pa.array(width))
         out = out.append_column("img_height", pa.array(height))
         out = out.append_column(
             "img_features", pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.ravel(), type=pa.float32()), self.FEATURE_DIM))
-        return out
+        return out.append_column("decoded_real", pa.array(decoded_real))
 
 
 class FrameSampleStub:
@@ -262,34 +282,40 @@ class FrameSampleStub:
         col = batch[self.binary_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        take_parts, frame_parts = [], []
+        # vectorized AVI prefilter: RIFF at 0 AND 'AVI ' at 8
+        cand = _magic_mask(col, b"RIFF") & _magic_mask(col, b"AVI ", 8)
+        if self.strict and not cand.all():
+            raise NotImplementedError(
+                "compressed video frame sampling requires ffmpeg")
+        real_frames: dict[int, np.ndarray] = {}
+        for i in np.flatnonzero(cand):
+            try:
+                frames, _ = decode_avi(col[int(i)].as_py())
+            except AviError:
+                if self.strict:
+                    raise
+                continue
+            real_frames[int(i)] = np.arange(0, len(frames), self.every_n,
+                                            dtype=np.int64)[: self.max_frames]
+        fake = np.arange(self.max_frames, dtype=np.int64) * self.every_n
+        take_parts, frame_parts, real_parts = [], [], []
         for i in range(batch.num_rows):
-            v = col[i].as_py()
-            is_avi = (v is not None and len(v) >= 12
-                      and v[:4] == b"RIFF" and v[8:12] == b"AVI ")
-            if is_avi:
-                try:
-                    frames, _ = decode_avi(v)
-                    real = np.arange(0, len(frames), self.every_n,
-                                     dtype=np.int64)[: self.max_frames]
-                    take_parts.append(np.full(len(real), i, dtype=np.int64))
-                    frame_parts.append(real)
-                    continue
-                except AviError:
-                    if self.strict:
-                        raise
-            elif self.strict:
-                raise NotImplementedError(
-                    "compressed video frame sampling requires ffmpeg")
-            take_parts.append(np.full(self.max_frames, i, dtype=np.int64))
-            frame_parts.append(np.arange(self.max_frames, dtype=np.int64)
-                               * self.every_n)
+            fr = real_frames.get(i)
+            is_real = fr is not None
+            if not is_real:
+                fr = fake
+            take_parts.append(np.full(len(fr), i, dtype=np.int64))
+            frame_parts.append(fr)
+            real_parts.append(np.full(len(fr), is_real, dtype=bool))
         take = (np.concatenate(take_parts) if take_parts
                 else np.empty(0, np.int64))
         frame_no = (np.concatenate(frame_parts) if frame_parts
                     else np.empty(0, np.int64))
+        decoded_real = (np.concatenate(real_parts) if real_parts
+                        else np.empty(0, bool))
         out = batch.take(pa.array(take))
-        return out.append_column("frame_no", pa.array(frame_no))
+        out = out.append_column("frame_no", pa.array(frame_no))
+        return out.append_column("decoded_real", pa.array(decoded_real))
 
 
 def media_pipeline(ds, *, binary_col: str = "payload", concurrency=None,

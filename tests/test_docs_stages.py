@@ -396,6 +396,19 @@ class TestMedia:
         with pytest.raises(NotImplementedError):
             stub(pa.table({"payload": pa.array([b"x"], type=pa.binary())}))
 
+    def test_decoded_real_flag(self):
+        """PNG rows -> decoded_real True with dims from actual pixels;
+        JPEG-magic / null rows -> False (deterministic fake lane)."""
+        from raster_processor_ray.functions.png import encode_png
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64   # JPEG SOI magic
+        src = pa.table({"payload": pa.array(
+            [encode_png(px), jpeg_ish, None], type=pa.binary())})
+        dec = media.DecodeImageStub()(src)
+        assert dec["decoded_real"].to_pylist() == [True, False, False]
+        assert dec["img_width"][0].as_py() == 4
+        assert dec["img_height"][0].as_py() == 4
+
     def test_frame_sample(self, ray_session):
         rows = [{"vid": 1, "payload": b"\x00" * 100}]
         out = rd.from_items(rows).map_batches(
@@ -403,6 +416,7 @@ class TestMedia:
             batch_format="pyarrow", concurrency=1).to_pandas()
         assert len(out) == 4
         assert list(out.frame_no) == [0, 10, 20, 30]
+        assert list(out.decoded_real) == [False] * 4   # fake fan-out lane
 
 
 class TestIvfIndex:

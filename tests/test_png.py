@@ -155,6 +155,7 @@ class TestAudio:
         dec = media.DecodeAudioStub()(t)
         assert dec["audio_sr"][0].as_py() == sr
         assert dec["audio_samples"][0].as_py() == 1600
+        assert dec["decoded_real"].to_pylist() == [True, False]
         # appended schema contract
         appended = pa.schema([dec.schema.field(i)
                               for i in range(1, dec.num_columns)])
@@ -196,8 +197,10 @@ class TestVideo:
         got = out.to_pandas()
         # real lane: 25 frames, every 10th, capped 4 -> [0, 10, 20]
         assert got[got.vid == 1].frame_no.tolist() == [0, 10, 20]
+        assert got[got.vid == 1].decoded_real.all()
         # fake lane unchanged: fixed fan-out [0, 10, 20, 30]
         assert got[got.vid == 2].frame_no.tolist() == [0, 10, 20, 30]
+        assert not got[got.vid == 2].decoded_real.any()
         # strict: AVI ok, non-AVI raises
         strict = media.FrameSampleStub("payload", strict=True)
         assert strict(t.slice(0, 1)).num_rows == 3
