@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..geo.hashing import fnv1a_64, splitmix64
 
@@ -124,6 +125,28 @@ def _hash_windows(windows: np.ndarray) -> np.ndarray:
 
 _MH_A = splitmix64(np.arange(1, 257, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
 _MH_B = splitmix64(np.arange(1001, 1257, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+
+
+def _char_shingle_hashes_arrow(arr: pa.Array, k: int = 5) -> list[np.ndarray]:
+    """``_char_shingle_hashes`` reading utf-8 bytes ZERO-COPY from the
+    Arrow string buffers — no Python str is ever materialized. Byte
+    output is identical (Arrow strings are utf-8, exactly what
+    ``str.encode('utf-8')`` produced)."""
+    arr = pc.fill_null(arr, "").cast(pa.large_utf8())
+    bufs = arr.buffers()
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8))
+    off = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    out = []
+    for i in range(len(arr)):
+        b = data[off[i]:off[i + 1]]
+        if len(b) < k:
+            out.append(np.array([0], dtype=np.uint64) if len(b) == 0 else
+                       _hash_windows(b[None, :]))
+            continue
+        out.append(_hash_windows(np.lib.stride_tricks.sliding_window_view(b, k)))
+    return out
 
 
 def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
@@ -258,14 +281,16 @@ def _distinct_pairs(pairs_ds, *, num_buckets: int = 64,
         return b.append_column(
             "_pb", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
-    def uniq(df: pd.DataFrame) -> pd.DataFrame:
-        a, b = _dedup_pairs_arrays(df["id_a"].to_numpy(), df["id_b"].to_numpy())
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    def uniq(t: pa.Table) -> pa.Table:
+        a, b = _dedup_pairs_arrays(
+            np.asarray(t["id_a"], dtype=np.int64),
+            np.asarray(t["id_b"], dtype=np.int64))
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
     from ..util import pin_for_shuffle
 
     return (pin_for_shuffle(pairs_ds.map_batches(add_pb, batch_format="pyarrow"))
-            .groupby("_pb").map_groups(uniq, batch_format="pandas"))
+            .groupby("_pb").map_groups(uniq, batch_format="pyarrow"))
 
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -294,9 +319,9 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
         return t.append_column("_bucket", pa.array(
             (gkey % np.uint64(num_buckets)).astype(np.int64)))
 
-    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy()
-        gkey = df["_gkey"].to_numpy()
+    def emit_bucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        gkey = np.asarray(t["_gkey"], dtype=np.int64)
         order = np.lexsort((ids, gkey))
         ids_s, g_s = ids[order], gkey[order]
         # belt: a doc appears once per band, but drop dup (gkey, id) anyway
@@ -314,14 +339,14 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
                 "minhash-LSH: collapsed %d buckets larger than %d to star pairs",
                 n_collapsed, max_bucket_size)
         a, b = _dedup_pairs_arrays(ids_s[ia], ids_s[ib])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
     from ..util import pin_for_shuffle
 
     pairs = (
         pin_for_shuffle(ds.map_batches(to_bands, batch_format="pyarrow"))
         .groupby("_bucket")
-        .map_groups(emit_bucket, batch_format="pandas")
+        .map_groups(emit_bucket, batch_format="pyarrow")
     )
     # distinct pairs (a pair can surface from many bands -> many buckets)
     return _distinct_pairs(pairs, num_buckets=num_buckets)
@@ -329,15 +354,45 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id"
 
 def jaccard_verify_distributed(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                                text_col: str = "text", shingle_k: int = 5,
-                               threshold: float = 0.8, num_buckets: int = 32):
+                               threshold: float = 0.8, num_buckets: int = 32,
+                               broadcast_pair_limit: int = 1_000_000):
     """Distributed exact-Jaccard verification of candidate pairs.
 
     Texts are attached through two bucketed hash joins (pairs x docs on
-    ``id_a``, then on ``id_b``) — each side shuffles once, nothing is
-    collected on the driver — then per-batch shingle-set Jaccard. Returns
-    (id_a, id_b, jaccard) rows with ``jaccard >= threshold``.
+    ``id_a``, then on ``id_b``) — each side shuffles once, nothing
+    unbounded is collected on the driver — then per-batch shingle-set
+    Jaccard. Returns (id_a, id_b, jaccard) rows with
+    ``jaccard >= threshold``.
+
+    When the candidate set is small (``<= broadcast_pair_limit`` pairs
+    — the common case: LSH banding admits far fewer candidates than the
+    corpus has docs), the distinct candidate ids are broadcast and the
+    docs side is semi-filtered MAP-SIDE before the joins, so only the
+    texts that can match are ever shuffled; the join bucket count then
+    shrinks to the data actually in play. Above the limit the full
+    shuffle join runs unchanged (dup-heavy corpora where candidates
+    rival the corpus in size).
     """
     from ..aggregate.relational import hash_join
+    from ..util import pin_for_shuffle
+
+    pairs_ds = pin_for_shuffle(pairs_ds)       # count becomes metadata
+    npairs = pairs_ds.count()
+    if npairs <= broadcast_pair_limit:
+        import ray as _ray
+        ids = np.unique(np.concatenate([
+            np.concatenate([np.asarray(b["id_a"], dtype=np.int64),
+                            np.asarray(b["id_b"], dtype=np.int64)])
+            for b in pairs_ds.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]))
+        ids_ref = _ray.put(pa.array(ids))
+        num_buckets = max(1, min(num_buckets, 1 + npairs // 50_000))
+
+        def semi(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b[id_col],
+                                     value_set=_ray.get(ids_ref)))
+
+        docs_ds = docs_ds.map_batches(semi, batch_format="pyarrow")
 
     def rename(side: str):
         def f(b: pa.Table) -> pa.Table:
@@ -350,39 +405,48 @@ def jaccard_verify_distributed(pairs_ds, docs_ds, *, id_col: str = "doc_id",
     joined = hash_join(pairs_ds, docs_a, "id_a", num_buckets=num_buckets)
     joined = hash_join(joined, docs_b, "id_b", num_buckets=num_buckets)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def verify(b: pa.Table) -> pa.Table:
         """Exact Jaccard per pair with shingle sets computed ONCE PER
-        UNIQUE TEXT in the batch (factorize): a doc in k candidate pairs
-        is hashed once, not k times — measured 11x on the bench corpus
-        (the per-pair merge of two presorted unique arrays is cheap; the
-        shingle hashing was the cost). A fully flattened one-lexsort
-        variant was tried and is SLOWER here: its (pairs x shingles)
-        scratch arrays hit this node's page-dirty throttle."""
-        texts = pd.concat([df["text_a"], df["text_b"]], ignore_index=True)
-        codes, uniq = pd.factorize(texts.fillna(""))
-        sets = _char_shingle_hashes(list(uniq), shingle_k)
-        n = len(df)
+        UNIQUE TEXT in the batch (Arrow dictionary_encode): a doc in k
+        candidate pairs is hashed once, not k times — measured 11x on
+        the bench corpus (the per-pair merge of two presorted unique
+        arrays is cheap; the shingle hashing was the cost). All-Arrow:
+        the text columns never round-trip through pandas object arrays,
+        and shingle bytes are read zero-copy from the string buffers. A
+        fully flattened one-lexsort variant was tried and is SLOWER
+        here: its (pairs x shingles) scratch arrays hit this node's
+        page-dirty throttle."""
+        def _one(col):
+            return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                    else col)
+
+        ta, tb = _one(b["text_a"]), _one(b["text_b"])
+        enc = pc.dictionary_encode(
+            pc.fill_null(pa.concat_arrays([ta, tb.cast(ta.type)]), ""))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = _char_shingle_hashes_arrow(enc.dictionary, shingle_k)
+        n = b.num_rows
         ca, cb = codes[:n], codes[n:]
         jac = np.empty(n, dtype=np.float64)
         for i in range(n):
-            a, b = sets[ca[i]], sets[cb[i]]
-            if len(a) > len(b):
-                a, b = b, a
-            if len(b) == 0:
+            a, bb = sets[ca[i]], sets[cb[i]]
+            if len(a) > len(bb):
+                a, bb = bb, a
+            if len(bb) == 0:
                 jac[i] = 1.0          # both empty -> union 0 -> defined 1
                 continue
             # searchsorted membership count over the presorted unique
             # arrays (intersect1d re-sorts per call)
-            pos = np.searchsorted(b, a)
-            pos[pos == len(b)] = len(b) - 1
-            inter = int((b[pos] == a).sum())
-            union = len(a) + len(b) - inter
+            pos = np.searchsorted(bb, a)
+            pos[pos == len(bb)] = len(bb) - 1
+            inter = int((bb[pos] == a).sum())
+            union = len(a) + len(bb) - inter
             jac[i] = inter / union if union else 1.0
-        out = df[["id_a", "id_b"]].copy()
-        out["jaccard"] = jac
-        return out[jac >= threshold]
+        m = jac >= threshold
+        out = b.select(["id_a", "id_b"]).filter(pa.array(m))
+        return out.append_column("jaccard", pa.array(jac[m]))
 
-    return joined.map_batches(verify, batch_format="pandas")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_estimate_filter(pairs_ds, docs_ds, *, id_col: str = "doc_id",
@@ -582,16 +646,16 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
             "_bucket": pa.array((gkey % np.uint64(num_buckets)).astype(np.int64)),
         })
 
-    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def emit_bucket(t: pa.Table) -> pa.Table:
         """Vectorized across all (chunk_no, chunk_val) groups in the
         bucket; groups beyond ``max_bucket_size`` collapse to star
         candidates around a representative (recall on giant buckets is
         traded for bounded output — counted in the task log)."""
         import logging
 
-        ids = df[id_col].to_numpy()
-        sh = df["simhash"].to_numpy()
-        gkey = df["_gkey"].to_numpy()
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        sh = np.asarray(t["simhash"], dtype=np.int64)
+        gkey = np.asarray(t["_gkey"], dtype=np.int64)
         order = np.lexsort((ids, gkey))
         ids_s, sh_s, g_s = ids[order], sh[order], gkey[order]
         starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]]) if len(g_s) \
@@ -605,7 +669,7 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
         hd = hamming_distance64(sh_s[ia], sh_s[ib])
         m = hd <= max_hamming
         a, b = _dedup_pairs_arrays(ids_s[ia[m]], ids_s[ib[m]])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
 
     from ..util import pin_for_shuffle
 
@@ -614,7 +678,7 @@ def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id"
                         .map_batches(explode_chunks, batch_format="pyarrow")
                         .map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("_bucket")
-        .map_groups(emit_bucket, batch_format="pandas")
+        .map_groups(emit_bucket, batch_format="pyarrow")
     )
     return _distinct_pairs(pairs, num_buckets=num_buckets)
 
@@ -720,8 +784,21 @@ def minhash_index_probe(new_docs_ds, index_dir: str, *,
     touched = set(bands_new.map_batches(
         shards_touched, batch_format="pyarrow").to_pandas()["s"].unique())
     avail = lineage.finished_shards(index_dir)
+    hit = sorted(touched & avail)
     paths = [os.path.join(index_dir, f"shard={s:05d}", "data.parquet")
-             for s in sorted(touched & avail)]
+             for s in hit]
+    # size the join/aggregate exchanges to the data actually in play:
+    # the probe side is materialized (count is metadata) and the index
+    # side's row counts come free from the shard manifests. A small
+    # incremental batch then pays 1-2 bucket tasks instead of
+    # num_buckets near-empty ones; corpus-sized probes keep the cap.
+    old_rows = 0
+    for s in hit:
+        with open(os.path.join(index_dir, f"shard={s:05d}",
+                               "MANIFEST.json")) as f:
+            old_rows += json.load(f).get("rows", 0)
+    num_buckets = max(1, min(num_buckets,
+                             1 + max(bands_new.count(), old_rows) // 100_000))
     if not paths:
         return rd.from_arrow(pa.table({
             "new_id": pa.array([], pa.int64()),

@@ -157,9 +157,11 @@ def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     out = hash_join(stats, docs, on=id_col, how="left",
                     num_buckets=num_buckets)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["n_kept"] = df["n_kept"].fillna(0).astype(np.int64)
-        return df[[id_col, "n_paras", "n_kept", "text_dedup"]]
+    def finalize(b: pa.Table) -> pa.Table:
+        # left-join nulls on n_kept -> 0 (Arrow-native: no pandas
+        # object-array round trip for the wide text_dedup column)
+        nk = pc.cast(pc.fill_null(b["n_kept"], 0), pa.int64())
+        return pa.table({id_col: b[id_col], "n_paras": b["n_paras"],
+                         "n_kept": nk, "text_dedup": b["text_dedup"]})
 
-    return out.map_batches(finalize, batch_format="pandas")
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -303,6 +303,36 @@ def read_resumable(out_dir: str):
     return rd.read_parquet(paths, partitioning=None)
 
 
+def clone_corpus_cow(src_dir: str, dst_dir: str) -> None:
+    """Copy-on-write clone of a resumable corpus layout: hardlink every
+    file into ``dst_dir`` — O(files) metadata ops, zero data copied.
+
+    Safe because EVERY mutation path in this engine (write_shard_table,
+    _write_run_manifest, upsert.apply_changeset) writes tmp ->
+    ``os.replace``, which swaps the directory entry and never writes
+    through an existing inode: mutating the clone rewrites only the
+    clone's entries while the source's files stay byte-identical.
+    Falls back to a real copy when the link crosses filesystems.
+
+    This is how an incremental-ingest run takes a private writable view
+    of a multi-TB persisted corpus without re-materializing it — the
+    run pays only for the shards its changeset actually touches."""
+    import shutil
+    os.makedirs(dst_dir, exist_ok=True)
+    for root, _dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        troot = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+        os.makedirs(troot, exist_ok=True)
+        for fn in files:
+            s, t = os.path.join(root, fn), os.path.join(troot, fn)
+            if os.path.exists(t):
+                os.remove(t)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+
 def manifest_summary(out_dir: str) -> pd.DataFrame:
     rows = []
     for s in sorted(finished_shards(out_dir)):

@@ -93,3 +93,47 @@ def test_reshard_corpus(tmp_path, ray_session):
     # source untouched, destination provenance chains
     assert read_run_manifest(corpus)["input_fingerprint"] == "orig"
     assert read_run_manifest(dst)["input_fingerprint"].startswith("reshard(")
+
+
+def test_clone_corpus_cow(tmp_path, ray_session):
+    """Hardlink clone: zero data copied (shared inodes), mutating the
+    clone rewrites only the clone's touched shards, and the source
+    corpus stays byte-identical (inode + mtime + content)."""
+    from raster_processor_ray.state.lineage import clone_corpus_cow
+
+    corpus, df = _build_corpus(tmp_path)
+    clone = str(tmp_path / "clone")
+    clone_corpus_cow(corpus, clone)
+
+    def inodes(root):
+        return {d: os.stat(os.path.join(root, d, "data.parquet")).st_ino
+                for d in os.listdir(root) if d.startswith("shard=")}
+
+    src_ino, cl_ino = inodes(corpus), inodes(clone)
+    assert src_ino == cl_ino                       # all shards shared
+    src_before = _shard_mtimes(corpus)
+
+    chg = pd.DataFrame({
+        "doc_id": np.asarray([7, 3000], dtype=np.int64),
+        "text": ["t7-new", "t3000"], "score": [1.0, 2.0],
+        "op": ["upsert", "upsert"]})
+    affected = set(shard_of(chg.doc_id.to_numpy(), 8).tolist())
+    time.sleep(0.05)
+    apply_changeset(clone, rd.from_pandas(chg), key_col="doc_id")
+
+    # source untouched: same inodes, same mtimes, same rows
+    assert inodes(corpus) == src_ino
+    assert _shard_mtimes(corpus) == src_before
+    got_src = read_resumable(corpus).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(got_src.reset_index(drop=True),
+                                  df.sort_values("doc_id")
+                                  .reset_index(drop=True))
+    # clone: only affected shards diverged from the source inode
+    cl_after = inodes(clone)
+    for d, ino in cl_ino.items():
+        s = int(d.split("=")[1])
+        assert (cl_after[d] != ino) == (s in affected), d
+    # clone content reflects the changeset
+    got = read_resumable(clone).to_pandas()
+    assert got[got.doc_id == 7].text.iloc[0] == "t7-new"
+    assert (got.doc_id == 3000).sum() == 1
