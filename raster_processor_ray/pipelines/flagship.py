@@ -22,7 +22,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from ..aggregate.rasterize import (combine_partials_df, finalize_cells,
+from ..aggregate.rasterize import (combine_partials_table, finalize_cells,
                                    partial_aggregate_batch, rasterize)
 from ..config import AggConfig, DEFAULT_AGG
 from ..geo.cells import GridSpec, grid_tile_id
@@ -81,16 +81,15 @@ def rasterize_pages(pages_ds, *, grid: GridSpec = GLOBAL_GEO_GRID,
         bucket = np.asarray(b["grid_cell"]).astype(np.int64) % num_buckets
         return b.append_column("_bucket", pa.array(bucket))
 
-    def combine_bucket(df) -> pa.Table:
-        out = combine_partials_df(df.drop(columns=["_bucket"]), cfg)
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def combine_bucket(t: pa.Table) -> pa.Table:
+        return combine_partials_table(t.drop_columns(["_bucket"]), cfg)
 
     from ..util import pin_for_shuffle
 
     combined = (pin_for_shuffle(partials.map_batches(add_bucket,
                                                      batch_format="pyarrow"))
                 .groupby("_bucket")
-                .map_groups(combine_bucket, batch_format="pandas"))
+                .map_groups(combine_bucket, batch_format="pyarrow"))
     return combined.map_batches(
         lambda b: finalize_cells(b, grid, cfg), batch_format="pyarrow")
 
@@ -450,10 +449,8 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
 
     def combine_finalize_write(shard: int, t: pa.Table) -> dict:
         raster = t.drop_columns(["_bucket", "site_ids", "site_cnts"])
-        combined = combine_partials_df(raster.to_pandas(), cfg)
-        fin = finalize_cells(
-            pa.Table.from_pandas(combined, preserve_index=False), grid, cfg
-        ).to_pandas()
+        combined = combine_partials_table(raster, cfg)
+        fin = finalize_cells(combined, grid, cfg).to_pandas()
         # dominant site: flatten the packed lists, re-sum per (cell, site)
         # (a cell spans many partial rows), argmax with tie -> smallest id
         flat_cells, flat_sites, flat_cnts = unpack_zonal_lists(t)
@@ -551,21 +548,20 @@ def run_flagship_full(pages_path_or_ds, out_dir: str, *,
         if not tabs:
             return parts[0].slice(0, 0)
         t = pa.concat_tables(tabs, promote_options="permissive")
-        combined = combine_partials_df(
-            t.drop_columns(["_bucket", "site_ids", "site_cnts"]).to_pandas(),
-            cfg)
+        combined = combine_partials_table(
+            t.drop_columns(["_bucket", "site_ids", "site_cnts"]), cfg)
         flat_cells, flat_sites, flat_cnts = unpack_zonal_lists(t)
         packed = pack_cell_site(flat_cells, flat_sites)
         uniq, inv = np.unique(packed, return_inverse=True)
         sums = np.bincount(inv, weights=flat_cnts.astype(np.float64))
         pair_cells = uniq >> np.int64(ZONAL_SITE_BITS)
-        # pandas groupby sorts keys ascending — same order as np.unique,
-        # so the leaf searchsorted alignment applies unchanged
-        p_cells = combined["grid_cell"].to_numpy(dtype=np.int64)
+        # combine_partials_table sorts cells ascending — same order as
+        # np.unique, so the leaf searchsorted alignment applies unchanged
+        p_cells = np.asarray(combined["grid_cell"], dtype=np.int64)
         offsets = np.concatenate([
             np.searchsorted(pair_cells, p_cells, side="left"),
             [len(pair_cells)]]).astype(np.int32)
-        out = pa.Table.from_pandas(combined, preserve_index=False)
+        out = combined
         out = out.append_column("site_ids", pa.ListArray.from_arrays(
             pa.array(offsets),
             pa.array((uniq & np.int64((1 << ZONAL_SITE_BITS) - 1))

@@ -226,3 +226,25 @@ class TestRasterizeGolden:
         whole_s = whole.sort_values("grid_cell").reset_index(drop=True)
         both_s = both.sort_values("grid_cell").reset_index(drop=True)[whole_s.columns]
         pd.testing.assert_frame_equal(whole_s, both_s, rtol=1e-12, atol=1e-12)
+
+    def test_combine_table_matches_pandas(self, samples_table):
+        """The Arrow/numpy reduceat combine (the production fold kernel)
+        agrees with the pandas groupby combine on identical partials:
+        same rows, same values, cells ascending."""
+        import pyarrow as pa
+        from raster_processor_ray.aggregate.rasterize import (
+            combine_partials_df, combine_partials_table)
+        lo = partial_aggregate_batch(samples_table.slice(0, N // 3))
+        hi = partial_aggregate_batch(samples_table.slice(N // 3))
+        t = pa.concat_tables([lo, hi])
+        got = combine_partials_table(t).to_pandas()
+        want = combine_partials_df(t.to_pandas()).sort_values(
+            "grid_cell").reset_index(drop=True)[got.columns]
+        assert (got.grid_cell.to_numpy()[1:]
+                > got.grid_cell.to_numpy()[:-1]).all()
+        pd.testing.assert_frame_equal(
+            got, want, rtol=1e-12, atol=1e-12, check_dtype=False)
+        # empty input -> empty output, schema intact
+        empty = combine_partials_table(t.slice(0, 0))
+        assert empty.num_rows == 0
+        assert empty.column_names == got.columns.tolist()
