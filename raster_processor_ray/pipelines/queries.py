@@ -902,6 +902,49 @@ def q_lang_counts(sf_dir: str):
 SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY 1"
 
 
+def q_salted_topk_docs(sf_dir: str):
+    """Top-3 longest docs per language through the skew-mitigated
+    two-stage salted groupby (aggregate/salted.py): the documents
+    table's lang distribution is heavily skewed (en dominates), so
+    diagnose_skew assigns the hot key a salt factor and the per-group
+    top-k reduces on bounded (lang, salt) slices before one bounded
+    per-key merge — the SURVEY §4 salting design end-to-end, with an
+    exact row_number window oracle. Deterministic tiebreak: doc_id asc."""
+    from ..aggregate.salted import auto_salt_groupby
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def with_len(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n = pc.utf8_length(pc.fill_null(t, "")).cast(pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "n_chars": n})
+
+    ds = docs.map_batches(with_len, batch_format="pyarrow")
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(3)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = top3(g).reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["lang", "doc_id", "n_chars", "rank"]]
+
+    return auto_salt_groupby(ds, "lang", top3, finish, salt_on="doc_id")
+
+
+SQL_SALTED_TOPK_DOCS = """
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, length(coalesce(text, '')) AS n_chars,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY length(coalesce(text, '')) DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 3
+"""
+
+
 def q_token_counts(sf_dir: str):
     """Text analysis: whitespace token counts (SQL-parity definition)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4443,7 +4486,8 @@ def queries() -> dict:
     FIRST 50 entries. Round 5 rotates the window one final time: positions
     1-16 are the last 16 oracle-backed queries that have never been inside
     any round's driver window (relational-stats / window-fn / geo families),
-    positions 17-50 are 34 load-bearing regression sentinels already green in
+    position 17 is the round-5 skew-salted groupby query, positions 18-50
+    are 33 load-bearing regression sentinels already green in
     CORRECTNESS_r01-r04, then the remaining oracle-backed entries (all green
     in some prior window), then the rows-only (no-oracle) entries."""
     return {
@@ -4464,7 +4508,9 @@ def queries() -> dict:
         "lineitem_ranks": q_lineitem_ranks,
         "embed_dim_stats": q_embed_dim_stats,
         "track_lengths": q_track_lengths,
-        # -- 17-50: regression sentinels (green in a prior driver window) --
+        # -- 17: new in round 5 (skew-salted groupby, driver-verified) --
+        "salted_topk_docs": q_salted_topk_docs,
+        # -- 18-50: regression sentinels (green in a prior driver window) --
         "langid": q_langid,
         "quality": q_quality,
         "para_dedup": q_para_dedup,
@@ -4630,6 +4676,7 @@ def oracle_sql() -> dict:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_cc": SQL_DEDUP_CC,
         "quality": SQL_QUALITY,
+        "salted_topk_docs": SQL_SALTED_TOPK_DOCS,
         "langid": SQL_LANGID,
         "hex_cells": SQL_HEX_CELLS,
         "geoloc_refined": SQL_GEOLOC_REFINED,

@@ -29,6 +29,20 @@ import pandas as pd
 import pyarrow as pa
 
 
+KEY_SEP = "\x1f"
+
+
+def _pack_key_strings(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Composite key -> one string per row (unit-separator joined),
+    vectorized per column. Injective as long as no component's string
+    form contains the separator (true for numerics; arbitrary text
+    keys would need escaping — diagnosis tolerates the collision)."""
+    s = df[keys[0]].astype(str)
+    for k in keys[1:]:
+        s = s + KEY_SEP + df[k].astype(str)
+    return s.to_numpy()
+
+
 def diagnose_skew(ds, key: str | list[str], *, num_buckets: int = 64,
                   hot_k: int = 100) -> dict:
     """-> dict with total_rows, per-bucket stats (max/mean/imbalance),
@@ -55,10 +69,17 @@ def diagnose_skew(ds, key: str | list[str], *, num_buckets: int = 64,
         hot = heavy_hitters(ds, keys[0], hot_k)
         hot = hot.rename(columns={hot.columns[0]: "key"})
     else:
-        # composite keys: diagnose on the first component (the shuffle
-        # key a caller would salt); refine by passing a packed column
-        hot = heavy_hitters(ds, keys[0], hot_k)
-        hot = hot.rename(columns={hot.columns[0]: "key"})
+        # composite keys: EXACT — pack the components into one string
+        # key map-side (unit-separator joined, the reverse of what a
+        # first-component-only diagnosis would see: a composite key can
+        # be hot while every individual component is uniform) and run
+        # the same pigeonhole + broadcast recount over the packed key.
+        hot = heavy_hitters(
+            ds.map_batches(lambda df: pd.DataFrame(
+                {"_packed_key": _pack_key_strings(df, keys)}),
+                batch_format="pandas"),
+            "_packed_key", hot_k)
+        hot = hot.rename(columns={"_packed_key": "key"})
     hot = hot.sort_values("n", ascending=False).reset_index(drop=True)
     if mean_bucket > 0:
         hot["salt_factor"] = np.ceil(

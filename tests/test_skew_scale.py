@@ -113,3 +113,78 @@ class TestDiagnoseSkew:
         d = diagnose_skew(ds, "k", num_buckets=32, hot_k=50)
         assert d["imbalance"] < 1.2
         assert len(d["hot_keys"]) == 0
+
+
+class TestCompositeAndSalted:
+    def test_composite_hot_key_exact(self, ray_session):
+        """A (a, b) composite key can be hot while EVERY single component
+        is uniform — the packed recount must catch it where a
+        first-component-only diagnosis cannot."""
+        import ray.data as rd
+
+        from raster_processor_ray.state.diagnose import diagnose_skew
+
+        n = 12_000
+        # components a and b each uniform over 0..59 (200 rows per value)
+        a = np.arange(n, dtype=np.int64) % 60
+        b = (np.arange(n, dtype=np.int64) // 60) % 60
+        # plant 3000 extra rows of ONE composite pair (7, 11): a is now
+        # 7 for 3200/15000 rows (21%) but b==11 only pairs with a==7
+        a = np.concatenate([a, np.full(3_000, 7, dtype=np.int64)])
+        b = np.concatenate([b, np.full(3_000, 11, dtype=np.int64)])
+        ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+        ds = ds.repartition(8)
+        d = diagnose_skew(ds, ["a", "b"], num_buckets=32, hot_k=50)
+        hot = d["hot_keys"]
+        assert len(hot) >= 1
+        assert hot.iloc[0]["key"] == "7\x1f11"
+        # 3000 planted + the few (7, 11) pairs the uniform part produces
+        assert 3_000 <= int(hot.iloc[0]["n"]) <= 3_010
+        # single-component diagnosis on b would put b==11 at only
+        # 200 + 3000 rows of 15000 -> the composite count is what the
+        # salting decision needs
+        assert int(hot.iloc[0]["salt_factor"]) >= 5
+
+    def test_auto_salt_groupby_matches_unsalted(self, ray_session):
+        """20%-hot-key top-k through the salted two-stage plan: results
+        identical to a driver-side oracle, and the stage-1 groups are
+        bounded (the hot key is actually split across salts)."""
+        import ray.data as rd
+
+        from raster_processor_ray.aggregate.salted import auto_salt_groupby
+        from raster_processor_ray.state.diagnose import diagnose_skew
+
+        n = 10_000
+        rng = np.random.default_rng(11)
+        key = np.where(rng.random(n) < 0.2, 0,
+                       rng.integers(1, 200, size=n)).astype(np.int64)
+        rid = np.arange(n, dtype=np.int64)
+        val = rng.integers(0, 1_000_000, size=n).astype(np.int64)
+        df = pd.DataFrame({"k": key, "rid": rid, "v": val})
+        ds = rd.from_pandas(df).repartition(8)
+
+        diag = diagnose_skew(ds, "k", num_buckets=32, hot_k=50)
+        assert int(diag["hot_keys"].iloc[0]["key"]) == 0
+        hot_salt = int(diag["hot_keys"].iloc[0]["salt_factor"])
+        assert hot_salt > 1                      # the salt actually engages
+
+        def top2(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(["v", "rid"],
+                                 ascending=[False, True]).head(2)
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            out = top2(g).reset_index(drop=True)
+            out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+            return out[["k", "rid", "v", "rank"]]
+
+        got = auto_salt_groupby(ds, "k", top2, finish, salt_on="rid",
+                                diagnosis=diag).to_pandas()
+        got = got.sort_values(["k", "rank"]).reset_index(drop=True)
+
+        want = (df.sort_values(["v", "rid"], ascending=[False, True])
+                .groupby("k", as_index=False).head(2))
+        want = want.sort_values(["k", "v", "rid"],
+                                ascending=[True, False, True])
+        want["rank"] = want.groupby("k").cumcount() + 1
+        want = want[["k", "rid", "v", "rank"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
