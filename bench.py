@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "value_quantiles_cont", "gap_flags", "geoloc_refined_full",
     "minhash_verified", "incremental_curation", "compression_stats", "audio_decode",
     "grouping_sets_pricing", "frame_sample",
+    # round-5 addition
+    "salted_topk_docs",
 ]
 
 
