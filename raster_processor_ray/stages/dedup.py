@@ -98,29 +98,151 @@ def exact_dedup(ds, key: str, order_by: str | list[str] | None = None, *,
 # shingling + MinHash
 # ---------------------------------------------------------------------------
 
-def _char_shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of its k-char shingles (vectorized per doc
-    via stride tricks over the byte buffer)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.array([0], dtype=np.uint64) if len(b) == 0 else
-                       _hash_windows(b[None, :]))
-            continue
-        windows = np.lib.stride_tricks.sliding_window_view(b, k)
-        out.append(_hash_windows(windows))
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+# Shingle chunk size for the cache-resident kernels below. This node (and
+# any busy shared worker) throttles dirty-page allocation hard: the same
+# FNV pass measured 0.29 s on a whole 1.5 MB window matrix vs 0.012 s in
+# 64 Ki-row chunks with reused scratch buffers. Keep per-chunk scratch
+# ~1 MB so it stays in L2 and never faults fresh pages.
+_SHINGLE_CHUNK = 1 << 16
+
+
+def _fnv_rows(windows: np.ndarray) -> np.ndarray:
+    """FNV-1a over each row of a (n, k) uint8 matrix — vectorized over n,
+    chunked so scratch stays cache-resident (see _SHINGLE_CHUNK note).
+    Each column slice of a 1-byte-strided sliding window view is
+    contiguous, so this is k sequential passes per chunk."""
+    n = windows.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    tmp = np.empty(min(n, _SHINGLE_CHUNK), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for s in range(0, n, _SHINGLE_CHUNK):
+            e = min(s + _SHINGLE_CHUNK, n)
+            h = out[s:e]
+            h[:] = _FNV_OFFSET
+            t = tmp[:e - s]
+            for col in range(windows.shape[1]):
+                np.copyto(t, windows[s:e, col], casting="unsafe")
+                h ^= t
+                h *= _FNV_PRIME
     return out
 
 
 def _hash_windows(windows: np.ndarray) -> np.ndarray:
-    """FNV-1a over each row of a (n, k) uint8 matrix — vectorized over n."""
-    h = np.full(windows.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
-    with np.errstate(over="ignore"):
-        for col in range(windows.shape[1]):
-            h = (h ^ windows[:, col].astype(np.uint64)) * prime
-    return np.unique(h)
+    """Sorted-unique FNV-1a hashes of the rows of a (n, k) uint8 matrix."""
+    return np.unique(_fnv_rows(windows))
+
+
+def _cumsum0(counts: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out[1:])
+    return out
+
+
+def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """``concatenate([arange(s, s+c) for s, c in zip(starts, counts)])``
+    without the Python loop."""
+    cs = _cumsum0(counts)
+    return (np.repeat(starts.astype(np.int64), counts)
+            + (np.arange(cs[-1], dtype=np.int64) - np.repeat(cs[:-1], counts)))
+
+
+def _shingle_hashes_concat(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """(hashes, lengths): per-doc SORTED-UNIQUE k-byte-shingle FNV-1a
+    hashes concatenated in doc order — the ragged form every consumer
+    (minhash ``reduceat``, simhash bit votes, Jaccard merges) wants.
+
+    Fully vectorized ACROSS docs: utf-8 bytes are read zero-copy from
+    the Arrow string buffers, every k-byte window of the WHOLE buffer is
+    FNV-hashed in one pass (windows spanning a doc boundary are computed
+    but never gathered), and per-doc unique is ONE global lexsort
+    (seg-major, hash-minor) + adjacent-run dedup. Byte-identical to the
+    per-doc ``np.unique(_fnv_rows(sliding_window_view(doc, k)))`` loop
+    it replaces (measured ~6x on the bench corpus); docs shorter than k
+    bytes (whole-doc hash, or 0 for empty) take a rare fallback loop.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "").cast(pa.large_utf8())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    bufs = arr.buffers()
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8))
+    off = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset: arr.offset + n + 1]
+    # re-base to the slice's own byte range so window positions, the
+    # validity mask and gh all share one coordinate system even when the
+    # array is a zero-copy slice of a larger buffer
+    data = data[off[0]:off[-1]]
+    off = off - off[0]
+    doclen = off[1:] - off[:-1]
+    counts = np.maximum(doclen - k + 1, 0)     # full-width windows per doc
+
+    gh = (_fnv_rows(np.lib.stride_tricks.sliding_window_view(data, k))
+          if len(data) >= k else np.empty(0, dtype=np.uint64))
+    has = counts > 0
+
+    # a window starting at byte p is doc-internal unless it crosses a doc
+    # boundary b (p in (b-k, b)); mark those k-1 starts per boundary
+    # invalid — k-1 tiny scatters instead of a 12 MB ragged index gather
+    n_win = len(gh)
+    valid = np.ones(n_win, dtype=bool)
+    inner = off[1:-1]
+    for j in range(1, k):
+        pos = inner - j
+        pos = pos[(pos >= 0) & (pos < n_win)]
+        valid[pos] = False
+    h_all = gh[valid]
+
+    # per-doc sorted unique: lexsort (seg-major, hash-minor) + adjacent-run
+    # dedup, in doc-aligned chunks so sort scratch stays cache-resident
+    bounds = _cumsum0(counts)
+    lengths = np.zeros(n, dtype=np.int64)
+    pieces = []
+    i = 0
+    while i < n:
+        j = min(int(np.searchsorted(bounds, bounds[i] + 2 * _SHINGLE_CHUNK)),
+                n)
+        j = max(j, i + 1)
+        hc = h_all[bounds[i]:bounds[j]]
+        segc = np.repeat(np.arange(i, j, dtype=np.int64), counts[i:j])
+        order = np.lexsort((hc, segc))
+        hs, ss = hc[order], segc[order]
+        keep = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        pieces.append(hs[keep])
+        lengths[i:j] = np.bincount(ss[keep] - i, minlength=j - i)
+        i = j
+    h_u = (np.concatenate(pieces) if pieces else np.empty(0, dtype=np.uint64))
+
+    short = ~has                   # len(doc) < k: one whole-doc hash (0 if empty)
+    if not short.any():
+        return h_u, lengths
+    out_lengths = lengths.copy()
+    out_lengths[short] = 1
+    out_starts = _cumsum0(out_lengths)
+    out = np.empty(int(out_starts[-1]), dtype=np.uint64)
+    docs_long = np.nonzero(has)[0]
+    out[_ragged_arange(out_starts[docs_long], lengths[docs_long])] = h_u
+    for i in np.nonzero(short)[0]:
+        b = data[off[i]:off[i + 1]]
+        out[out_starts[i]] = (np.uint64(0) if len(b) == 0
+                              else _fnv_rows(b[None, :])[0])
+    return out, out_lengths
+
+
+def _split_concat(h: np.ndarray, lengths: np.ndarray) -> list[np.ndarray]:
+    return np.split(h, np.cumsum(lengths)[:-1])
+
+
+def _char_shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
+    """Per doc: sorted-unique uint64 hashes of its k-char shingles."""
+    return _split_concat(*_shingle_hashes_concat(
+        pa.array(texts, type=pa.large_utf8()), k))
 
 
 _MH_A = splitmix64(np.arange(1, 257, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
@@ -128,25 +250,9 @@ _MH_B = splitmix64(np.arange(1001, 1257, dtype=np.uint64) * np.uint64(0xC2B2AE3D
 
 
 def _char_shingle_hashes_arrow(arr: pa.Array, k: int = 5) -> list[np.ndarray]:
-    """``_char_shingle_hashes`` reading utf-8 bytes ZERO-COPY from the
-    Arrow string buffers — no Python str is ever materialized. Byte
-    output is identical (Arrow strings are utf-8, exactly what
-    ``str.encode('utf-8')`` produced)."""
-    arr = pc.fill_null(arr, "").cast(pa.large_utf8())
-    bufs = arr.buffers()
-    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
-            else np.empty(0, dtype=np.uint8))
-    off = np.frombuffer(bufs[1], dtype=np.int64)[
-        arr.offset: arr.offset + len(arr) + 1]
-    out = []
-    for i in range(len(arr)):
-        b = data[off[i]:off[i + 1]]
-        if len(b) < k:
-            out.append(np.array([0], dtype=np.uint64) if len(b) == 0 else
-                       _hash_windows(b[None, :]))
-            continue
-        out.append(_hash_windows(np.lib.stride_tricks.sliding_window_view(b, k)))
-    return out
+    """``_char_shingle_hashes`` straight off an Arrow string column —
+    zero-copy bytes, no Python str ever materialized."""
+    return _split_concat(*_shingle_hashes_concat(arr, k))
 
 
 def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
@@ -158,27 +264,32 @@ def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 128) -> np.nda
     return m.min(axis=1)
 
 
-def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
-                             shingle_k: int = 5) -> np.ndarray:
-    """(ndocs, num_perm) MinHash signatures, vectorized ACROSS docs:
-    one concatenated shingle-hash array + ``np.minimum.reduceat`` per
-    permutation (no per-doc Python in the permutation loop)."""
-    shingles = _char_shingle_hashes(texts, shingle_k)
-    lengths = np.array([len(s) for s in shingles], dtype=np.int64)
-    starts = np.zeros(len(texts), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    h = (np.concatenate(shingles) if len(shingles) else
-         np.empty(0, dtype=np.uint64))
-    sig = np.full((len(texts), num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+def minhash_signatures_concat(h: np.ndarray, lengths: np.ndarray, *,
+                              num_perm: int = 128) -> np.ndarray:
+    """(ndocs, num_perm) MinHash signatures from the concat ragged form:
+    ``np.minimum.reduceat`` per permutation (no per-doc Python anywhere)."""
+    n = len(lengths)
+    starts = _cumsum0(lengths)[:-1]
+    sig = np.full((n, num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
                   dtype=np.uint64)
     nonempty = lengths > 0
     if h.size:
-        with np.errstate(over="ignore"):
+        ne_starts = starts[nonempty]
+        m = np.empty(len(h), dtype=np.uint64)   # reused: no fresh dirty
+        with np.errstate(over="ignore"):        # pages per permutation
             for p in range(num_perm):
-                m = h * _MH_A[p] + _MH_B[p]
-                mins = np.minimum.reduceat(m, starts[nonempty])
-                sig[nonempty, p] = mins
+                np.multiply(h, _MH_A[p], out=m)
+                m += _MH_B[p]
+                sig[nonempty, p] = np.minimum.reduceat(m, ne_starts)
     return sig
+
+
+def minhash_signatures_batch(texts: list[str], num_perm: int = 128,
+                             shingle_k: int = 5) -> np.ndarray:
+    """(ndocs, num_perm) MinHash signatures, vectorized ACROSS docs."""
+    h, lengths = _shingle_hashes_concat(
+        pa.array(texts, type=pa.large_utf8()), shingle_k)
+    return minhash_signatures_concat(h, lengths, num_perm=num_perm)
 
 
 def _band_hashes(sig: np.ndarray, num_bands: int) -> np.ndarray:
@@ -201,11 +312,12 @@ def minhash_batch(batch: pa.Table, *, text_col: str = "text", id_col: str = "doc
                   num_bands: int = 32) -> pa.Table:
     """Per doc: minhash signature -> LSH band keys. Emits long-form
     (id, band, band_hash) rows — the groupby key for candidate buckets."""
-    texts = [t or "" for t in batch[text_col].to_pylist()]
     ids = np.asarray(batch[id_col])
-    sig = minhash_signatures_batch(texts, num_perm, shingle_k)
+    sig = minhash_signatures_concat(
+        *_shingle_hashes_concat(batch[text_col], shingle_k),
+        num_perm=num_perm)
     bh = _band_hashes(sig, num_bands)
-    n = len(texts)
+    n = batch.num_rows
     return pa.table({
         id_col: pa.array(np.repeat(ids, num_bands)),
         "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int64), n)),
@@ -473,17 +585,19 @@ def minhash_estimate_filter(pairs_ds, docs_ds, *, id_col: str = "doc_id",
 
     def sigs(side: str):
         def f(b: pa.Table) -> pa.Table:
-            texts = [t if t is not None else ""
-                     for t in b[text_col].to_pylist()]
-            sig = minhash_signatures_batch(texts, num_perm=num_perm,
-                                           shingle_k=shingle_k)
+            sig = minhash_signatures_concat(
+                *_shingle_hashes_concat(b[text_col], shingle_k),
+                num_perm=num_perm)
             # fixed-width BINARY (num_perm*8 bytes/doc): plain binary
             # survives the join's pandas round-trip (FixedSizeList maps
-            # to Ray's tensor extension, which breaks on sliced blocks)
+            # to Ray's tensor extension, which breaks on sliced blocks).
+            # One buffer + cast, no per-row tobytes loop.
+            fsb = pa.Array.from_buffers(
+                pa.binary(num_perm * 8), sig.shape[0],
+                [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())])
             return pa.table({
                 f"id_{side}": b[id_col],
-                f"sig_{side}": pa.array([row.tobytes() for row in sig],
-                                        type=pa.binary())})
+                f"sig_{side}": fsb.cast(pa.binary())})
         return f
 
     sa = docs_ds.map_batches(sigs("a"), batch_format="pyarrow")
@@ -578,22 +692,22 @@ def simhash_batch(batch: pa.Table, *, text_col: str = "text",
     and each of the 64 bit-votes is a single ``np.add.reduceat`` over the
     doc boundaries — no per-doc bit matrix.
     """
-    texts = [t or "" for t in batch[text_col].to_pylist()]
-    n = len(texts)
-    shingles = _char_shingle_hashes(texts, shingle_k)
-    lengths = np.array([len(s) for s in shingles], dtype=np.int64)
-    starts = np.zeros(n, dtype=np.int64)
-    if n:
-        np.cumsum(lengths[:-1], out=starts[1:])
-    h = (np.concatenate(shingles) if shingles else np.empty(0, dtype=np.uint64))
+    n = batch.num_rows
+    h, lengths = _shingle_hashes_concat(batch[text_col], shingle_k)
+    starts = _cumsum0(lengths)[:-1]
     fps = np.zeros(n, dtype=np.uint64)
     nonempty = lengths > 0
     if h.size and nonempty.any():
         ne_starts = starts[nonempty]
         ne_lengths = lengths[nonempty]
         fp_ne = np.zeros(ne_starts.shape[0], dtype=np.uint64)
+        t = np.empty(len(h), dtype=np.uint64)   # reused per bit: no fresh
+        ones = np.empty(len(h), dtype=np.int64)  # dirty pages in the loop
+        one = np.uint64(1)
         for b in range(64):
-            ones = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            np.right_shift(h, np.uint64(b), out=t)
+            t &= one
+            np.copyto(ones, t, casting="unsafe")
             votes = np.add.reduceat(ones, ne_starts) * 2 - ne_lengths
             fp_ne |= (votes > 0).astype(np.uint64) << np.uint64(b)
         fps[nonempty] = fp_ne
