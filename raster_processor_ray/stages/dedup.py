@@ -236,6 +236,8 @@ def _shingle_hashes_concat(arr, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _split_concat(h: np.ndarray, lengths: np.ndarray) -> list[np.ndarray]:
+    if len(lengths) == 0:
+        return []
     return np.split(h, np.cumsum(lengths)[:-1])
 
 
