@@ -529,3 +529,39 @@ def string_agg(ds, key, val_col: str, *, sep: str = ",",
             .groupby("_bucket")
             .map_groups(lambda d: per_bucket(d.drop(columns=["_bucket"])),
                         batch_format="pandas"))
+
+
+def unpivot(ds, id_cols, value_cols: list[str], *, name_col: str = "metric",
+            value_col: str = "value", value_type=None):
+    """SQL UNPIVOT (wide -> long): one output row per (input row, value
+    column), with the column's name in ``name_col`` and its value cast to
+    a common type in ``value_col``.
+
+    Stateless map-side reshape — NO shuffle, no state: each batch emits
+    ``len(value_cols)`` column slices concatenated (zero-copy for the id
+    columns, one vectorized ``fill_null`` per constant name column), so
+    it streams at read speed and composes with a downstream
+    ``hash_aggregate`` for melt-then-aggregate pipelines.
+
+    Reference analog: the wide->long metric reshaping the reference does
+    row-wise when assembling its per-tile stats reports
+    (plot_raster_stats.py metric tables); here it is a first-class
+    streaming operator.
+    """
+    import pyarrow.compute as pc
+
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    vt = value_type
+
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out_vt = vt or b.schema.field(value_cols[0]).type
+        pieces = []
+        for vc in value_cols:
+            cols = {c: b[c] for c in id_cols}
+            cols[name_col] = pc.fill_null(pa.nulls(n, pa.string()), vc)
+            cols[value_col] = pc.cast(b[vc], out_vt)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(f, batch_format="pyarrow")

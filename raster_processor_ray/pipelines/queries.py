@@ -17,6 +17,8 @@ Determinism rules shared by both sides (see geo.hashing / geo.cells):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4481,6 +4483,163 @@ GROUP BY 1, 2
 """
 
 
+# --- round-5 additions: UNPIVOT / histogram / broadcast z-score ------------
+
+def q_unpivot_metrics(sf_dir: str):
+    """SQL UNPIVOT (aggregate/relational.py unpivot): melt the four
+    lineitem money columns into (metric, cents) long form map-side —
+    no shuffle for the reshape itself — then ONE bounded hash aggregate
+    per (returnflag, metric). Values are cents-quantized int64 so the
+    sums are exact under any block order."""
+    from ..aggregate.relational import unpivot
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax"])
+
+    # floor(v*100 + 0.5), not np.round: half-to-even vs DuckDB's
+    # half-away-from-zero (values are all non-negative here)
+    def cents(b: pa.Table) -> pa.Table:
+        out = {"l_returnflag": b["l_returnflag"]}
+        for name, col in (("quantity", "l_quantity"),
+                          ("extendedprice", "l_extendedprice"),
+                          ("discount", "l_discount"), ("tax", "l_tax")):
+            out[name] = pa.array(np.floor(
+                np.asarray(b[col]) * 100.0 + 0.5).astype(np.int64))
+        return pa.table(out)
+
+    long = unpivot(ds.map_batches(cents, batch_format="pyarrow"),
+                   "l_returnflag",
+                   ["quantity", "extendedprice", "discount", "tax"],
+                   name_col="metric", value_col="cents")
+    return hash_aggregate(long, ["l_returnflag", "metric"], {
+        "n": (None, "count"), "sum_cents": ("cents", "sum")})
+
+
+SQL_UNPIVOT_METRICS = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS quantity,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS extendedprice,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+  FROM lineitem),
+u AS (UNPIVOT q ON quantity, extendedprice, discount, tax
+      INTO NAME metric VALUE cents)
+SELECT l_returnflag, metric, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram (SQL width_bucket over a [0, inf) integer
+    domain): order totalprice quantized to cents, bucketed by exact
+    int64 floor-division (bucket = cents // $25k) — no float boundary
+    ambiguity between engines — then one tiny hash aggregate for count
+    / sum / min / max per bucket."""
+    width = 2_500_000  # $25k in cents
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["o_totalprice"]) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"bucket": pa.array(cents // width),
+                         "cents": pa.array(cents)})
+
+    return hash_aggregate(
+        ds.map_batches(bucketize, batch_format="pyarrow"), "bucket", {
+            "n": (None, "count"), "sum_cents": ("cents", "sum"),
+            "min_cents": ("cents", "min"), "max_cents": ("cents", "max"),
+        }, num_buckets=2)
+
+
+SQL_PRICE_HISTOGRAM = """
+WITH q AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT cents // 2500000 AS bucket, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM q GROUP BY 1
+"""
+
+
+def q_value_outliers(sf_dir: str):
+    """Two-pass broadcast z-score outlier filter: pass 1 reduces the
+    events table to EXACT int64 sufficient statistics per event type
+    (n, Σcents, Σcents²) — a bounded aggregate, materialized driver-side
+    only because it is one row per type; pass 2 broadcasts the tiny
+    (mean, std) table into a vectorized map-side filter. Two streaming
+    scans of the input, zero data shuffles. |z| > 3 rows survive.
+
+    The z doubles are bit-identical to the oracle's: both engines
+    compute mean = Σx/n, std = sqrt((n·Σx² − Σx²)/(n·(n−1))), and
+    z = (x − mean)/std from the same exact integers in the same order.
+    Overflow bound: Σx² ≤ n·max(cents)² must stay below 2^63 (rescale
+    the quantization for wider domains — see aggregate/stats.py)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(b["value"]) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "cents": pa.array(c),
+                         "cents2": pa.array(c * c)})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    stats = hash_aggregate(cds, "event_type", {
+        "n": (None, "count"), "sx": ("cents", "sum"),
+        "sxx": ("cents2", "sum")}, num_buckets=2).take_all()
+    mean_std = {}
+    for r in stats:
+        n, sx, sxx = float(r["n"]), float(r["sx"]), float(r["sxx"])
+        mean = sx / n
+        std = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+        mean_std[r["event_type"]] = (mean, std)
+
+    def flag(b: pa.Table) -> pa.Table:
+        # dictionary-encode so the Python dict lookup runs once per
+        # UNIQUE type, then gather per-row stats with one numpy take
+        enc = pc.dictionary_encode(b["event_type"].combine_chunks())
+        idx = np.asarray(enc.indices)
+        uniq = enc.dictionary.to_pylist()
+        mean = np.array([mean_std[t][0] for t in uniq])[idx]
+        std = np.array([mean_std[t][1] for t in uniq])[idx]
+        z = (np.asarray(b["cents"]).astype(np.float64) - mean) / std
+        keep = np.abs(z) > 3.0
+        t = b.select(["event_id", "event_type", "cents"]).filter(
+            pa.array(keep))
+        return t.append_column("z", pa.array(np.round(z[keep], 6)))
+
+    return cds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(cents AS HUGEINT)) AS sx,
+         sum(CAST(cents AS HUGEINT) * cents) AS sxx
+  FROM q GROUP BY 1),
+z AS (
+  SELECT q.event_id, q.event_type, q.cents,
+         (CAST(q.cents AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+         / sqrt((CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1))) AS zv
+  FROM q JOIN s USING (event_type))
+SELECT event_id, event_type, cents, round(zv, 6) AS z
+FROM z WHERE abs(zv) > 3
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -4546,6 +4705,10 @@ def queries() -> dict:
         "dedup_docs": q_dedup_docs,
         "ngram_jaccard": q_ngram_jaccard,
         # -- 51+: oracle-backed, green in a prior driver window --
+        # (plus the three round-5 additions, oracle-backed from birth)
+        "unpivot_metrics": q_unpivot_metrics,
+        "price_histogram": q_price_histogram,
+        "value_outliers": q_value_outliers,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -4746,4 +4909,7 @@ def oracle_sql() -> dict:
         "track_lengths": SQL_TRACK_LENGTHS,
         "click_attribution": SQL_CLICK_ATTRIBUTION,
         "label_centroids": SQL_LABEL_CENTROIDS,
+        "unpivot_metrics": SQL_UNPIVOT_METRICS,
+        "price_histogram": SQL_PRICE_HISTOGRAM,
+        "value_outliers": SQL_VALUE_OUTLIERS,
     }
