@@ -79,8 +79,9 @@ BENCH_QUERIES = [
     "value_quantiles_cont", "gap_flags", "geoloc_refined_full",
     "minhash_verified", "incremental_curation", "compression_stats", "audio_decode",
     "grouping_sets_pricing", "frame_sample",
-    # round-5 addition
-    "salted_topk_docs",
+    # round-5 additions
+    "salted_topk_docs", "unpivot_metrics", "price_histogram",
+    "value_outliers",
 ]
 
 
