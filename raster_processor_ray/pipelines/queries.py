@@ -4598,7 +4598,11 @@ def q_value_outliers(sf_dir: str):
     for r in stats:
         n, sx, sxx = float(r["n"]), float(r["sx"]), float(r["sxx"])
         mean = sx / n
-        std = math.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+        # n=1 or zero variance -> std 0.0; the flag kernel's isfinite
+        # guard then drops the type's rows, matching the oracle's
+        # NULL-on-division-by-zero exclusion
+        var = (n * sxx - sx * sx) / (n * (n - 1.0)) if n > 1.0 else 0.0
+        std = math.sqrt(max(var, 0.0))
         mean_std[r["event_type"]] = (mean, std)
 
     def flag(b: pa.Table) -> pa.Table:
@@ -4609,8 +4613,12 @@ def q_value_outliers(sf_dir: str):
         uniq = enc.dictionary.to_pylist()
         mean = np.array([mean_std[t][0] for t in uniq])[idx]
         std = np.array([mean_std[t][1] for t in uniq])[idx]
-        z = (np.asarray(b["cents"]).astype(np.float64) - mean) / std
-        keep = np.abs(z) > 3.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (np.asarray(b["cents"]).astype(np.float64) - mean) / std
+        # zero-variance types: numpy gives ±inf/nan where DuckDB's
+        # double division-by-zero gives NULL (excluded by the WHERE) —
+        # require finite so both engines drop those rows
+        keep = np.isfinite(z) & (np.abs(z) > 3.0)
         t = b.select(["event_id", "event_type", "cents"]).filter(
             pa.array(keep))
         return t.append_column("z", pa.array(np.round(z[keep], 6)))
