@@ -23,7 +23,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 SUBSET = ["quality", "para_dedup", "pagerank", "cohort_retention",
           "focal_mean", "rollup_pricing", "lineitem_ranks", "group_split",
           "pip_zonal", "event_quartiles", "nation_balance_full",
-          "nation_names"]
+          "nation_names",
+          # round-5 additions: reshape, histogram, broadcast z-score
+          "unpivot_metrics", "price_histogram", "value_outliers"]
 
 
 @pytest.fixture(scope="module")
