@@ -92,3 +92,62 @@ def grouped_stats(ds, keys, x: str, y: str, *, num_buckets: int = 32,
         return res
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def grouped_entropy(ds, keys, cat_col: str, *, num_buckets: int = 32,
+                    round_to: int | None = 6):
+    """Per-group Shannon entropy (nats) of a categorical column's
+    distribution: ``H = ln(n) − Σ c·ln(c) / n`` over the exact integer
+    category counts ``c``, with ``n_rows`` and ``n_cats`` alongside.
+
+    Scale shape: ONE pass over the data (a (keys, cat) count — map-side
+    partials, bounded exchange), then a (keys)-bucketed reduction over
+    the count table, whose size is the number of DISTINCT (group,
+    category) pairs — tiny at any corpus scale. The per-group float sum
+    runs after an in-group sort by category, so each engine's result is
+    deterministic under any partitioning/thread order; cross-engine
+    float agreement uses the round-6 quantization treatment (SURVEY
+    determinism audit: the tile_error_report / pagerank pattern).
+
+    Training-data use: language/label balance per source or domain —
+    the mixture-diversity diagnostic next to `mixture_sample`.
+    """
+    from ..util import pin_for_shuffle
+    from .relational import _key_bucket, hash_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    counts = hash_aggregate(ds, keys + [cat_col], {"c": (None, "count")},
+                            num_buckets=num_buckets)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, keys, num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(keys + [cat_col], kind="mergesort")
+              .reset_index(drop=True))
+        c = df["c"].to_numpy(dtype=np.float64)
+        df["_clnc"] = c * np.log(c)
+        g = df.groupby(keys, as_index=False, dropna=False, observed=True)
+        agg = g.agg(n_rows=("c", "sum"), n_cats=("c", "size"),
+                    s=("_clnc", "sum"))
+        n = agg["n_rows"].to_numpy(dtype=np.float64)
+        ent = np.log(n) - agg["s"].to_numpy(dtype=np.float64) / n
+        if round_to is not None:
+            ent = np.round(ent, round_to)
+        out = agg[keys].copy()
+        out["n_rows"] = agg["n_rows"].to_numpy(dtype=np.int64)
+        out["n_cats"] = agg["n_cats"].to_numpy(dtype=np.int64)
+        # + 0.0 folds the single-category case's −0.0 (from the tiny
+        # negative residue of ln(n) − n·ln(n)/n) to +0.0 so value
+        # hashes agree with the oracle's same-treated output
+        out["entropy"] = ent + 0.0
+        return out
+
+    return (pin_for_shuffle(counts.map_batches(add_bucket,
+                                               batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -4626,6 +4626,30 @@ def q_value_outliers(sf_dir: str):
     return cds.map_batches(flag, batch_format="pyarrow")
 
 
+def q_source_lang_entropy(sf_dir: str):
+    """Per-source Shannon entropy (nats) of the language distribution
+    (aggregate/stats.py grouped_entropy): one counting pass over the
+    table, then a tiny bucketed reduction over the distinct
+    (source, lang) count table. The mixture-balance diagnostic for
+    corpus curation; float agreement via round-6 quantization."""
+    from ..aggregate.stats import grouped_entropy
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    return grouped_entropy(ds, "source", "lang")
+
+
+SQL_SOURCE_LANG_ENTROPY = """
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cats,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS entropy
+FROM c GROUP BY source
+"""
+
+
 SQL_VALUE_OUTLIERS = """
 WITH q AS (
   SELECT event_id, event_type,
@@ -4717,6 +4741,7 @@ def queries() -> dict:
         "unpivot_metrics": q_unpivot_metrics,
         "price_histogram": q_price_histogram,
         "value_outliers": q_value_outliers,
+        "source_lang_entropy": q_source_lang_entropy,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -4920,4 +4945,5 @@ def oracle_sql() -> dict:
         "unpivot_metrics": SQL_UNPIVOT_METRICS,
         "price_histogram": SQL_PRICE_HISTOGRAM,
         "value_outliers": SQL_VALUE_OUTLIERS,
+        "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
     }
