@@ -151,3 +151,69 @@ def grouped_entropy(ds, keys, cat_col: str, *, num_buckets: int = 32,
                                                batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def grouped_kl_divergence(ds, keys, cat_col: str, *, num_buckets: int = 32,
+                          round_to: int | None = 6):
+    """Per-group KL divergence (nats) of the group's categorical
+    distribution from the GLOBAL distribution:
+    ``D(g) = Σ_c p_g(c) · (ln p_g(c) − ln p(c))`` over the group's
+    categories (absent categories contribute 0). The corpus-drift
+    diagnostic: which sources/shards deviate most from the corpus mix.
+
+    Scale shape: ONE counting pass over the data ((keys, cat) partials,
+    bounded exchange); the category marginal is a second aggregate over
+    the count table, materialized driver-side because it is bounded by
+    the number of DISTINCT categories (languages / labels / quality
+    tiers — small by construction), then broadcast back via
+    ``broadcast_lookup`` (ray.put once, fetched once per worker) — no
+    second data pass, no shuffle join. For category spaces too large to
+    hold driver-side (URL domains), swap the broadcast for
+    ``hash_join`` on the count table; the data-pass cost is identical.
+
+    Determinism: per-group terms are summed after an in-group sort by
+    category; cross-engine agreement uses round-6 quantization with the
+    −0.0 fold (an identical-to-global group rounds to exactly +0.0).
+    """
+    from ..util import pin_for_shuffle
+    from .relational import _key_bucket, broadcast_lookup, hash_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    counts = pin_for_shuffle(
+        hash_aggregate(ds, keys + [cat_col], {"c": (None, "count")},
+                       num_buckets=num_buckets))
+
+    marg = hash_aggregate(counts, cat_col, {"cg": ("c", "sum")},
+                          num_buckets=2).to_pandas()
+    total = float(marg["cg"].sum())
+    marg["_lnp"] = np.log(marg["cg"].to_numpy(dtype=np.float64) / total)
+
+    with_p = broadcast_lookup(counts, marg, cat_col, ["_lnp"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, keys, num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(keys + [cat_col], kind="mergesort")
+              .reset_index(drop=True))
+        ns = df.groupby(keys, dropna=False, observed=True)["c"].transform("sum")
+        pg = df["c"].to_numpy(dtype=np.float64) / ns.to_numpy(dtype=np.float64)
+        df["_term"] = pg * (np.log(pg) - df["_lnp"].to_numpy(dtype=np.float64))
+        g = df.groupby(keys, as_index=False, dropna=False, observed=True)
+        agg = g.agg(n_rows=("c", "sum"), kl=("_term", "sum"))
+        kl = agg["kl"].to_numpy(dtype=np.float64)
+        if round_to is not None:
+            kl = np.round(kl, round_to)
+        out = agg[keys].copy()
+        out["n_rows"] = agg["n_rows"].to_numpy(dtype=np.int64)
+        out["kl_global"] = kl + 0.0
+        return out
+
+    return (pin_for_shuffle(with_p.map_batches(add_bucket,
+                                               batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -4650,6 +4650,33 @@ FROM c GROUP BY source
 """
 
 
+def q_lang_drift(sf_dir: str):
+    """Per-source KL divergence of the language mix from the corpus-wide
+    mix (aggregate/stats.py grouped_kl_divergence): the drift diagnostic
+    that ranks sources by how far their distribution sits from the
+    corpus. One counting pass; category marginal broadcast back."""
+    from ..aggregate.stats import grouped_kl_divergence
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    return grouped_kl_divergence(ds, "source", "lang")
+
+
+SQL_LANG_DRIFT = """
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+gl AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS cg FROM c GROUP BY 1),
+g AS (SELECT source, sum(c) AS ns FROM c GROUP BY 1)
+SELECT c.source,
+       CAST(g.ns AS BIGINT) AS n_rows,
+       round(sum((CAST(c.c AS DOUBLE) / CAST(g.ns AS DOUBLE))
+                 * (ln(CAST(c.c AS DOUBLE) / CAST(g.ns AS DOUBLE))
+                    - ln(gl.cg / t.n))), 6) + 0.0 AS kl_global
+FROM c JOIN g USING (source) JOIN gl USING (lang) CROSS JOIN t
+GROUP BY c.source, g.ns
+"""
+
+
 SQL_VALUE_OUTLIERS = """
 WITH q AS (
   SELECT event_id, event_type,
@@ -4742,6 +4769,7 @@ def queries() -> dict:
         "price_histogram": q_price_histogram,
         "value_outliers": q_value_outliers,
         "source_lang_entropy": q_source_lang_entropy,
+        "lang_drift": q_lang_drift,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -4946,4 +4974,5 @@ def oracle_sql() -> dict:
         "price_histogram": SQL_PRICE_HISTOGRAM,
         "value_outliers": SQL_VALUE_OUTLIERS,
         "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
+        "lang_drift": SQL_LANG_DRIFT,
     }
