@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "grouping_sets_pricing", "frame_sample",
     # round-5 additions
     "salted_topk_docs", "unpivot_metrics", "price_histogram",
-    "value_outliers", "source_lang_entropy", "lang_drift",
+    "value_outliers", "source_lang_entropy", "lang_drift", "lang_gini",
 ]
 
 

@@ -217,3 +217,63 @@ def grouped_kl_divergence(ds, keys, cat_col: str, *, num_buckets: int = 32,
                                                batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def grouped_gini(ds, keys, cat_col: str, *, num_buckets: int = 32,
+                 round_to: int | None = 6):
+    """Per-group Gini concentration of a categorical column's count
+    distribution: 0 = perfectly even across the group's categories,
+    ->1 = all mass on one category. Discrete form over the exact
+    integer counts sorted ascending (1-based rank i, n categories,
+    S = Σc): ``G = Σ (2i − n − 1)·c_i / (n·S)``.
+
+    Numerator and denominator are EXACT int64 (ties between equal
+    counts cannot change the numerator, so the rank tie-break is
+    value-irrelevant); the single final division of identical integers
+    makes the double bit-identical across engines — no float-sum-order
+    caveat at all, unlike the entropy/KL round-6 treatment.
+
+    Same scale shape as :func:`grouped_entropy`: one counting pass,
+    then a bucketed reduction over the distinct (group, category)
+    count table.
+    """
+    from ..util import pin_for_shuffle
+    from .relational import _key_bucket, hash_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    counts = hash_aggregate(ds, keys + [cat_col], {"c": (None, "count")},
+                            num_buckets=num_buckets)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, keys, num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(keys + ["c", cat_col], kind="mergesort")
+              .reset_index(drop=True))
+        g0 = df.groupby(keys, dropna=False, observed=True)
+        i = g0.cumcount().to_numpy(dtype=np.int64) + 1       # 1-based rank
+        n = g0["c"].transform("size").to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        df["_num"] = (2 * i - n - 1) * c
+        g = df.groupby(keys, as_index=False, dropna=False, observed=True)
+        agg = g.agg(n_rows=("c", "sum"), n_cats=("c", "size"),
+                    num=("_num", "sum"))
+        gini = (agg["num"].to_numpy(dtype=np.float64)
+                / (agg["n_cats"].to_numpy(dtype=np.float64)
+                   * agg["n_rows"].to_numpy(dtype=np.float64)))
+        if round_to is not None:
+            gini = np.round(gini, round_to)
+        out = agg[keys].copy()
+        out["n_rows"] = agg["n_rows"].to_numpy(dtype=np.int64)
+        out["n_cats"] = agg["n_cats"].to_numpy(dtype=np.int64)
+        out["gini"] = gini
+        return out
+
+    return (pin_for_shuffle(counts.map_batches(add_bucket,
+                                               batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

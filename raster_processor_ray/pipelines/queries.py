@@ -4650,6 +4650,33 @@ FROM c GROUP BY source
 """
 
 
+def q_lang_gini(sf_dir: str):
+    """Per-source Gini concentration of doc volume across languages
+    (aggregate/stats.py grouped_gini): exact int64 numerator/denominator,
+    bit-identical division — the fully-exact concentration diagnostic
+    next to the entropy/KL pair."""
+    from ..aggregate.stats import grouped_gini
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    return grouped_gini(ds, "source", "lang")
+
+
+SQL_LANG_GINI = """
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+r AS (SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c, lang) AS i,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM c)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS n_cats,
+       round(CAST(sum((2 * i - n - 1) * c) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS gini
+FROM r GROUP BY source
+"""
+
+
 def q_lang_drift(sf_dir: str):
     """Per-source KL divergence of the language mix from the corpus-wide
     mix (aggregate/stats.py grouped_kl_divergence): the drift diagnostic
@@ -4770,6 +4797,7 @@ def queries() -> dict:
         "value_outliers": q_value_outliers,
         "source_lang_entropy": q_source_lang_entropy,
         "lang_drift": q_lang_drift,
+        "lang_gini": q_lang_gini,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -4975,4 +5003,5 @@ def oracle_sql() -> dict:
         "value_outliers": SQL_VALUE_OUTLIERS,
         "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
         "lang_drift": SQL_LANG_DRIFT,
+        "lang_gini": SQL_LANG_GINI,
     }
