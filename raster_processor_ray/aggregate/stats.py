@@ -219,6 +219,46 @@ def grouped_kl_divergence(ds, keys, cat_col: str, *, num_buckets: int = 32,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def mutual_information(ds, a_col: str, b_col: str, *,
+                       num_buckets: int = 32, round_to: int | None = 6):
+    """Mutual information (nats) between two categorical columns:
+    ``I = Σ_{a,b} p(a,b) · (ln p(a,b) − ln p(a) − ln p(b))`` — one
+    scalar row (plus the joint/marginal support sizes). The
+    association-strength summary for corpus curation: how much does
+    source tell you about language (0 = independent).
+
+    Scale shape: ONE counting pass over the data ((a, b) partials,
+    bounded exchange); both marginals and the final sum reduce the
+    joint count table, whose size is the number of distinct (a, b)
+    pairs — driver-side safe by construction for label-like columns.
+    Determinism: terms are summed once, driver-side, in sorted (a, b)
+    order; cross-engine agreement via round-6 quantization and the
+    +0.0 fold (independent columns round to exactly +0.0).
+    """
+    from .relational import hash_aggregate
+
+    joint = hash_aggregate(ds, [a_col, b_col], {"c": (None, "count")},
+                           num_buckets=num_buckets).to_pandas()
+    joint = joint.sort_values([a_col, b_col],
+                              kind="mergesort").reset_index(drop=True)
+    n = float(joint["c"].sum())
+    ca = joint.groupby(a_col)["c"].transform("sum").to_numpy(np.float64)
+    cb = joint.groupby(b_col)["c"].transform("sum").to_numpy(np.float64)
+    c = joint["c"].to_numpy(dtype=np.float64)
+    terms = (c / n) * (np.log(c / n) - np.log(ca / n) - np.log(cb / n))
+    mi = float(terms.sum())
+    if round_to is not None:
+        mi = float(np.round(mi, round_to))
+    out = pd.DataFrame({
+        "n_rows": np.array([int(joint["c"].sum())], dtype=np.int64),
+        "n_pairs": np.array([len(joint)], dtype=np.int64),
+        "n_a": np.array([joint[a_col].nunique()], dtype=np.int64),
+        "n_b": np.array([joint[b_col].nunique()], dtype=np.int64),
+        "mi": np.array([mi + 0.0], dtype=np.float64)})
+    import ray.data as _rd
+    return _rd.from_pandas(out)
+
+
 def grouped_gini(ds, keys, cat_col: str, *, num_buckets: int = 32,
                  round_to: int | None = 6):
     """Per-group Gini concentration of a categorical column's count

@@ -4677,6 +4677,38 @@ FROM r GROUP BY source
 """
 
 
+def q_source_lang_mi(sf_dir: str):
+    """Mutual information between source and language
+    (aggregate/stats.py mutual_information): single-scalar association
+    strength — 0 means sources share one language mix, higher means
+    source predicts language. One counting pass; the joint count table
+    reduces driver-side (bounded by distinct (source, lang) pairs)."""
+    from ..aggregate.stats import mutual_information
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    return mutual_information(ds, "source", "lang")
+
+
+SQL_SOURCE_LANG_MI = """
+WITH c AS (
+  SELECT source AS a, lang AS b, count(*) AS c FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             count(*) AS n_pairs FROM c),
+ma AS (SELECT a, CAST(sum(c) AS DOUBLE) AS ca FROM c GROUP BY 1),
+mb AS (SELECT b, CAST(sum(c) AS DOUBLE) AS cb FROM c GROUP BY 1)
+SELECT t.n_rows,
+       CAST(t.n_pairs AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM ma) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM mb) AS BIGINT) AS n_b,
+       round(sum((CAST(c.c AS DOUBLE) / t.n)
+                 * (ln(CAST(c.c AS DOUBLE) / t.n)
+                    - ln(ma.ca / t.n) - ln(mb.cb / t.n))), 6) + 0.0 AS mi
+FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+GROUP BY t.n_rows, t.n_pairs
+"""
+
+
 def q_lang_drift(sf_dir: str):
     """Per-source KL divergence of the language mix from the corpus-wide
     mix (aggregate/stats.py grouped_kl_divergence): the drift diagnostic
@@ -4798,6 +4830,7 @@ def queries() -> dict:
         "source_lang_entropy": q_source_lang_entropy,
         "lang_drift": q_lang_drift,
         "lang_gini": q_lang_gini,
+        "source_lang_mi": q_source_lang_mi,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5004,4 +5037,5 @@ def oracle_sql() -> dict:
         "source_lang_entropy": SQL_SOURCE_LANG_ENTROPY,
         "lang_drift": SQL_LANG_DRIFT,
         "lang_gini": SQL_LANG_GINI,
+        "source_lang_mi": SQL_SOURCE_LANG_MI,
     }
