@@ -186,6 +186,12 @@ def grouped_kl_divergence(ds, keys, cat_col: str, *, num_buckets: int = 32,
 
     marg = hash_aggregate(counts, cat_col, {"cg": ("c", "sum")},
                           num_buckets=2).to_pandas()
+    if len(marg) == 0:  # empty input: no crash, 0 rows (repo convention)
+        import ray.data as _rd
+        return _rd.from_pandas(pd.DataFrame({
+            **{k: pd.Series([], dtype=object) for k in keys},
+            "n_rows": pd.Series([], dtype=np.int64),
+            "kl_global": pd.Series([], dtype=np.float64)}))
     total = float(marg["cg"].sum())
     marg["_lnp"] = np.log(marg["cg"].to_numpy(dtype=np.float64) / total)
 
@@ -237,8 +243,15 @@ def mutual_information(ds, a_col: str, b_col: str, *,
     """
     from .relational import hash_aggregate
 
+    import ray.data as _rd
+
     joint = hash_aggregate(ds, [a_col, b_col], {"c": (None, "count")},
                            num_buckets=num_buckets).to_pandas()
+    if len(joint) == 0:  # empty input: no crash, 0 rows (repo convention)
+        return _rd.from_pandas(pd.DataFrame({
+            c: pd.Series([], dtype=np.int64)
+            for c in ("n_rows", "n_pairs", "n_a", "n_b")}
+            | {"mi": pd.Series([], dtype=np.float64)}))
     joint = joint.sort_values([a_col, b_col],
                               kind="mergesort").reset_index(drop=True)
     n = float(joint["c"].sum())
@@ -255,7 +268,6 @@ def mutual_information(ds, a_col: str, b_col: str, *,
         "n_a": np.array([joint[a_col].nunique()], dtype=np.int64),
         "n_b": np.array([joint[b_col].nunique()], dtype=np.int64),
         "mi": np.array([mi + 0.0], dtype=np.float64)})
-    import ray.data as _rd
     return _rd.from_pandas(out)
 
 
