@@ -225,6 +225,85 @@ def grouped_kl_divergence(ds, keys, cat_col: str, *, num_buckets: int = 32,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def lag_autocorr(ds, key: str, order_cols, val_col: str, *,
+                 num_buckets: int = 64, round_to: int | None = 6):
+    """Per-key lag-1 Pearson autocorrelation of an INTEGER value series
+    ordered by ``order_cols``: corr(x_t, x_{t+1}) over each key's
+    consecutive pairs. The temporal-persistence diagnostic (does a
+    user's metric trend or jump around?).
+
+    Same partitioning contract as sessionize: keys hash into buckets
+    and each key's full series lands in one ``map_groups`` call, where
+    the adjacent-pair extraction is one vectorized shift. All six
+    sufficient statistics (k, Σa, Σb, Σa², Σb², Σab) are int64-exact,
+    so the output filter (k ≥ 2, both variance numerators > 0 — an
+    EXACT integer comparison) and the final corr double are identical
+    under any block order or cluster size; round-6 on the corr.
+
+    Keys whose pair count is < 2 or whose either side is constant are
+    dropped (the oracle's NULL-producing groups).
+    """
+    from ..util import pin_for_shuffle
+    from .relational import _key_bucket
+
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    sort_cols = [key] + order_cols
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, [key], num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(sort_cols, kind="mergesort")
+              .reset_index(drop=True))
+        out_cols = {key: pd.Series([], dtype=df[key].dtype),
+                    "k": pd.Series([], dtype=np.int64),
+                    "lag1_corr": pd.Series([], dtype=np.float64)}
+        n = len(df)
+        if n < 2:
+            return pd.DataFrame(out_cols)
+        kv = df[key].to_numpy()
+        x = df[val_col].to_numpy(dtype=np.int64)
+        same = kv[1:] == kv[:-1]                 # adjacent rows, same key
+        a, b = x[:-1][same], x[1:][same]
+        pair_key = kv[:-1][same]
+        if len(a) == 0:
+            return pd.DataFrame(out_cols)
+        p = pd.DataFrame({key: pair_key, "_a": a, "_b": b,
+                          "_aa": a * a, "_bb": b * b, "_ab": a * b})
+        g = p.groupby(key, as_index=False, observed=True).agg(
+            k=("_a", "size"), sa=("_a", "sum"), sb=("_b", "sum"),
+            saa=("_aa", "sum"), sbb=("_bb", "sum"), sab=("_ab", "sum"))
+        k = g["k"].to_numpy(dtype=np.int64)
+        sa, sb = g["sa"].to_numpy(np.int64), g["sb"].to_numpy(np.int64)
+        saa, sbb = g["saa"].to_numpy(np.int64), g["sbb"].to_numpy(np.int64)
+        sab = g["sab"].to_numpy(np.int64)
+        va = k * saa - sa * sa                   # exact integer variance
+        vb = k * sbb - sb * sb                   # numerators
+        keep = (k >= 2) & (va > 0) & (vb > 0)
+        g = g[keep]
+        kf = k[keep].astype(np.float64)
+        corr = ((kf * sab[keep].astype(np.float64)
+                 - sa[keep].astype(np.float64) * sb[keep].astype(np.float64))
+                / np.sqrt((kf * saa[keep].astype(np.float64)
+                           - sa[keep].astype(np.float64) ** 2)
+                          * (kf * sbb[keep].astype(np.float64)
+                             - sb[keep].astype(np.float64) ** 2)))
+        if round_to is not None:
+            corr = np.round(corr, round_to)
+        return pd.DataFrame({key: g[key].to_numpy(),
+                             "k": g["k"].to_numpy(dtype=np.int64),
+                             "lag1_corr": corr})
+
+    return (pin_for_shuffle(ds.map_batches(add_bucket,
+                                           batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def mutual_information(ds, a_col: str, b_col: str, *,
                        num_buckets: int = 32, round_to: int | None = 6):
     """Mutual information (nats) between two categorical columns:

@@ -4677,6 +4677,54 @@ FROM r GROUP BY source
 """
 
 
+def q_user_lag_corr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values
+    (aggregate/stats.py lag_autocorr): cents-quantized series ordered
+    by (ts, event_id), exact int64 sufficient statistics per user,
+    exact-integer variance filter. The temporal-persistence
+    diagnostic."""
+    from ..aggregate.stats import lag_autocorr
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(b["value"]) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_id": b["event_id"], "cents": pa.array(c)})
+
+    return lag_autocorr(ds.map_batches(cents, batch_format="pyarrow"),
+                        "user_id", ["ts", "event_id"], "cents")
+
+
+SQL_USER_LAG_CORR = """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+l AS (
+  SELECT user_id, cents AS b,
+         LAG(cents) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS a
+  FROM q),
+s AS (
+  SELECT user_id, count(*) AS k,
+         sum(a) AS sa, sum(b) AS sb,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+  FROM l WHERE a IS NOT NULL GROUP BY 1)
+SELECT user_id, CAST(k AS BIGINT) AS k,
+       round((CAST(k AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(k AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(k AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+             6) AS lag1_corr
+FROM s
+WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
+"""
+
+
 def q_source_lang_mi(sf_dir: str):
     """Mutual information between source and language
     (aggregate/stats.py mutual_information): single-scalar association
@@ -4831,6 +4879,7 @@ def queries() -> dict:
         "lang_drift": q_lang_drift,
         "lang_gini": q_lang_gini,
         "source_lang_mi": q_source_lang_mi,
+        "user_lag_corr": q_user_lag_corr,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5038,4 +5087,5 @@ def oracle_sql() -> dict:
         "lang_drift": SQL_LANG_DRIFT,
         "lang_gini": SQL_LANG_GINI,
         "source_lang_mi": SQL_SOURCE_LANG_MI,
+        "user_lag_corr": SQL_USER_LAG_CORR,
     }
