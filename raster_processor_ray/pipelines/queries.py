@@ -4677,6 +4677,50 @@ FROM r GROUP BY source
 """
 
 
+def q_lang_ttr(sf_dir: str):
+    """Per-language mean type-token ratio (stages/text.py
+    type_token_ratio_batch): lexical diversity per language, the
+    text-quality signal next to `quality`. Per-doc TTR is computed in
+    exact integer micro-units map-side, so the per-lang mean is the
+    division of two exact integers — order-free."""
+    from ..stages.text import type_token_ratio_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ttr = ds.map_batches(type_token_ratio_batch, batch_format="pyarrow")
+    agg = hash_aggregate(
+        ttr.map_batches(lambda b: b.select(["lang", "ttr_u"]),
+                        batch_format="pyarrow"),
+        "lang", {"n_docs": (None, "count"), "sum_ttr_u": ("ttr_u", "sum")})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["sum_ttr_u"], dtype=np.float64)
+        n = np.asarray(b["n_docs"], dtype=np.float64)
+        out = b.select(["lang", "n_docs"])
+        return out.append_column("mean_ttr_u",
+                                 pa.array(np.round(s / n, 6)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LANG_TTR = r"""
+WITH base AS (
+  SELECT doc_id, lang, trim(text) AS t FROM documents
+  WHERE trim(text) <> ''),
+toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(t, '\s+')) AS tok
+  FROM base),
+s AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_types
+  FROM toks GROUP BY 1, 2),
+u AS (SELECT lang, (n_types * 1000000) // n_tokens AS ttr_u FROM s)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(ttr_u) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_ttr_u
+FROM u GROUP BY lang
+"""
+
+
 def q_user_lag_corr(sf_dir: str):
     """Per-user lag-1 autocorrelation of event values
     (aggregate/stats.py lag_autocorr): cents-quantized series ordered
@@ -4880,6 +4924,7 @@ def queries() -> dict:
         "lang_gini": q_lang_gini,
         "source_lang_mi": q_source_lang_mi,
         "user_lag_corr": q_user_lag_corr,
+        "lang_ttr": q_lang_ttr,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5088,4 +5133,5 @@ def oracle_sql() -> dict:
         "lang_gini": SQL_LANG_GINI,
         "source_lang_mi": SQL_SOURCE_LANG_MI,
         "user_lag_corr": SQL_USER_LAG_CORR,
+        "lang_ttr": SQL_LANG_TTR,
     }

@@ -226,6 +226,46 @@ class PageScorer:
                                                        type=pa.string()))
 
 
+def type_token_ratio_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Per-doc lexical diversity: whitespace token count, DISTINCT token
+    count, and the type-token ratio in EXACT integer micro-units
+    (``ttr_u = n_types·10⁶ // n_tokens`` — floor division, so downstream
+    sums/means are order-free exact).
+
+    SQL parity contract (the ``lang_ttr`` oracle): trim ASCII spaces at
+    both ends (DuckDB ``trim()`` semantics, NOT unicode trim), split on
+    RE2 ``\\s+`` (both engines are RE2), drop rows whose trimmed text is
+    empty. Fully vectorized: one Arrow split kernel, flatten + parent
+    indices, one dictionary encode, one np.unique for the per-doc
+    distinct count — no Python loop over rows or tokens.
+    """
+    t0 = _as_string_array(batch[text_col])
+    keep = pc.not_equal(pc.utf8_trim(t0, characters=" "), "")
+    sub = batch.filter(keep)
+    if sub.num_rows == 0:
+        empty = pa.array([], type=pa.int64())
+        out = sub.append_column("n_tokens", empty)
+        out = out.append_column("n_types", empty)
+        return out.append_column("ttr_u", empty)
+    t = pc.utf8_trim(_as_string_array(sub[text_col]), characters=" ")
+    lists = pc.split_pattern_regex(t, pattern=r"\s+")
+    n_tokens = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    idx = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(pc.list_flatten(lists))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    k = len(enc.dictionary)
+    uniq = np.unique(idx * np.int64(max(k, 1)) + codes)
+    n_types = np.bincount(uniq // np.int64(max(k, 1)),
+                          minlength=sub.num_rows).astype(np.int64)
+    ttr_u = n_types * np.int64(1_000_000) // n_tokens
+    out = sub.append_column("n_tokens", pa.array(n_tokens))
+    out = out.append_column("n_types", pa.array(n_types))
+    return out.append_column("ttr_u", pa.array(ttr_u))
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace + BPE-ish token counts — pure RE2 count kernels.
 
