@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "salted_topk_docs", "unpivot_metrics", "price_histogram",
     "value_outliers", "source_lang_entropy", "lang_drift", "lang_gini",
-    "source_lang_mi", "user_lag_corr", "lang_ttr",
+    "source_lang_mi", "user_lag_corr", "lang_ttr", "event_burstiness",
 ]
 
 

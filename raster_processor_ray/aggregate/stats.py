@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def grouped_stats(ds, keys, x: str, y: str, *, num_buckets: int = 32,
@@ -223,6 +224,62 @@ def grouped_kl_divergence(ds, keys, cat_col: str, *, num_buckets: int = 32,
                                                batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def dispersion_index(ds, keys, bin_col: str, *, num_buckets: int = 32,
+                     round_to: int | None = 6):
+    """Per-group index of dispersion (variance-to-mean ratio) of the
+    group's per-bin event counts: ``D = s²/mean`` over the counts c_i of
+    the group's OCCUPIED bins — 1 ≈ Poisson, >1 bursty, <1 regular. The
+    burstiness diagnostic for event streams (callers bin timestamps to
+    hours/days first).
+
+    Sums formulation over exact int64 counts —
+    ``D = n·(n·Σc² − (Σc)²) / ((n−1)·n·Σc)`` with n = #bins — so both
+    numerator and denominator are exact integers and the single final
+    division is bit-identical across engines (the grouped_gini
+    treatment; no float-sum-order caveat). Groups with a single bin
+    are dropped (the oracle's NULL-variance groups).
+
+    Scale shape: one counting pass ((keys, bin) partials, bounded
+    exchange), then a second bounded aggregate over the count table.
+    """
+    from .relational import hash_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    counts = hash_aggregate(ds, keys + [bin_col], {"c": (None, "count")},
+                            num_buckets=num_buckets)
+
+    def square(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c"], dtype=np.int64)
+        out = b.select(keys + ["c"])
+        return out.append_column("c2", pa.array(c * c))
+
+    agg = hash_aggregate(
+        counts.map_batches(square, batch_format="pyarrow"), keys, {
+            "n_bins": (None, "count"), "sc": ("c", "sum"),
+            "scc": ("c2", "sum")}, num_buckets=num_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_bins"], dtype=np.int64)
+        sc = np.asarray(b["sc"], dtype=np.int64)
+        scc = np.asarray(b["scc"], dtype=np.int64)
+        keep = n >= 2
+        t = b.filter(pa.array(keep))
+        n, sc, scc = n[keep], sc[keep], scc[keep]
+        num = (n * (n * scc - sc * sc)).astype(np.float64)
+        den = ((n - 1) * n * sc).astype(np.float64)
+        d = num / den
+        if round_to is not None:
+            d = np.round(d, round_to)
+        out = t.select(keys)
+        out = out.append_column("n_bins", pa.array(np.asarray(
+            t["n_bins"], dtype=np.int64)))
+        out = out.append_column("n_events", pa.array(sc))
+        return out.append_column("dispersion", pa.array(d))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def lag_autocorr(ds, key: str, order_cols, val_col: str, *,

@@ -4677,6 +4677,44 @@ FROM r GROUP BY source
 """
 
 
+def q_event_burstiness(sf_dir: str):
+    """Per-type burstiness of the event stream (aggregate/stats.py
+    dispersion_index): variance-to-mean ratio of per-hour event counts
+    — 1 ≈ Poisson, >1 bursty. Hours are exact integer epoch-hour bins
+    (epoch_us // 3.6e9) so the whole computation is int64-exact until
+    one bit-identical final division."""
+    from ..aggregate.stats import dispersion_index
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hour_bin(b: pa.Table) -> pa.Table:
+        us = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "hour": pa.array(us // 3_600_000_000)})
+
+    return dispersion_index(ds.map_batches(hour_bin, batch_format="pyarrow"),
+                            "event_type", "hour")
+
+
+SQL_EVENT_BURSTINESS = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hour,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(c) AS sc, sum(c * c) AS scc
+  FROM c GROUP BY 1)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_bins,
+       CAST(sc AS BIGINT) AS n_events,
+       round(CAST(n * (n * scc - sc * sc) AS DOUBLE)
+             / CAST((n - 1) * n * sc AS DOUBLE), 6) AS dispersion
+FROM s WHERE n >= 2
+"""
+
+
 def q_lang_ttr(sf_dir: str):
     """Per-language mean type-token ratio (stages/text.py
     type_token_ratio_batch): lexical diversity per language, the
@@ -4925,6 +4963,7 @@ def queries() -> dict:
         "source_lang_mi": q_source_lang_mi,
         "user_lag_corr": q_user_lag_corr,
         "lang_ttr": q_lang_ttr,
+        "event_burstiness": q_event_burstiness,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5134,4 +5173,5 @@ def oracle_sql() -> dict:
         "source_lang_mi": SQL_SOURCE_LANG_MI,
         "user_lag_corr": SQL_USER_LAG_CORR,
         "lang_ttr": SQL_LANG_TTR,
+        "event_burstiness": SQL_EVENT_BURSTINESS,
     }
