@@ -2049,6 +2049,84 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) <= 5
 """
 
 
+def q_zipf_slope(sf_dir: str, *, topk: int = 100):
+    """Zipf's-law slope per language: least-squares slope of ln(freq) on
+    ln(rank) over each language's top-100 terms (natural text ≈ −1;
+    strong deviations flag boilerplate or spam). Reuses the top_terms
+    machinery (map-side term partials -> one exchange -> grouped top-k
+    without a global sort); the regression runs over ≤100 rows per
+    language in a bucketed kernel, ranks tie-broken by token so both
+    engines rank identically. Round-6 on the slope (true-float
+    treatment)."""
+    from ..aggregate.relational import _key_bucket, grouped_topk
+    from ..stages.text import term_count_partials
+    from ..util import pin_for_shuffle
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    partials = ds.map_batches(term_count_partials, batch_format="pyarrow")
+    counts = hash_aggregate(partials, ["lang", "tok"], {"n": ("n", "sum")})
+    top = grouped_topk(counts, "lang", "n", topk, tie_col="tok")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, ["lang"], 8)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(["lang", "n", "tok"],
+                           ascending=[True, False, True], kind="mergesort")
+              .reset_index(drop=True))
+        r = df.groupby("lang", observed=True).cumcount().to_numpy() + 1
+        df["_x"] = np.log(r.astype(np.float64))
+        df["_y"] = np.log(df["n"].to_numpy(dtype=np.float64))
+        df["_xx"] = df["_x"] * df["_x"]
+        df["_xy"] = df["_x"] * df["_y"]
+        g = df.groupby("lang", as_index=False, observed=True).agg(
+            k_terms=("_x", "size"), sx=("_x", "sum"), sy=("_y", "sum"),
+            sxx=("_xx", "sum"), sxy=("_xy", "sum"))
+        g = g[g["k_terms"] >= 2]
+        k = g["k_terms"].to_numpy(dtype=np.float64)
+        sx, sy = g["sx"].to_numpy(), g["sy"].to_numpy()
+        slope = ((k * g["sxy"].to_numpy() - sx * sy)
+                 / (k * g["sxx"].to_numpy() - sx * sx))
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(),
+            "k_terms": g["k_terms"].to_numpy(dtype=np.int64),
+            "zipf_slope": np.round(slope, 6)})
+
+    return (pin_for_shuffle(top.map_batches(add_bucket,
+                                            batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+SQL_ZIPF_SLOPE = """
+WITH toks AS (
+  SELECT lang, lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS tok
+  FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tok ASC) AS r
+  FROM counts
+  QUALIFY r <= 100
+), xy AS (
+  SELECT lang, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+  FROM top
+), s AS (
+  SELECT lang, count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy GROUP BY 1)
+SELECT lang, CAST(k AS BIGINT) AS k_terms,
+       round((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+FROM s WHERE k >= 2
+"""
+
+
 def q_top_collocations(sf_dir: str, *, min_count: int = 5, k: int = 20):
     """PMI collocations (Church & Hanks 1990): top-k adjacent word pairs
     by pointwise mutual information ln(c12*N/(c1*c2)), min pair count 5.
@@ -4964,6 +5042,7 @@ def queries() -> dict:
         "user_lag_corr": q_user_lag_corr,
         "lang_ttr": q_lang_ttr,
         "event_burstiness": q_event_burstiness,
+        "zipf_slope": q_zipf_slope,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5174,4 +5253,5 @@ def oracle_sql() -> dict:
         "user_lag_corr": SQL_USER_LAG_CORR,
         "lang_ttr": SQL_LANG_TTR,
         "event_burstiness": SQL_EVENT_BURSTINESS,
+        "zipf_slope": SQL_ZIPF_SLOPE,
     }
