@@ -4885,6 +4885,45 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_weighted_sample(sf_dir: str, *, k: int = 100):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-Res): each doc gets priority ln(u)/w — u a
+    deterministic Knuth-hash uniform from doc_id, w = n_chars — and the
+    sample is the global top-k by priority, computed as map-side
+    partial top-k + one tiny combine (aggregate/relational.py topk), no
+    global sort, no reservoir state. The scale-correct weighted corpus
+    sampler: long docs are proportionally more likely, and reruns are
+    byte-identical."""
+    from ..aggregate.relational import topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def priority(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        w = np.asarray(b["n_chars"], dtype=np.float64)
+        u = ((did * np.int64(2654435761)) % np.int64(4294967296)
+             ).astype(np.float64)
+        u = (u + 0.5) / 4294967296.0
+        pr = np.log(u) / w
+        out = b.select(["doc_id", "n_chars"])
+        return out.append_column("priority", pa.array(np.round(pr, 9)))
+
+    return topk(ds.map_batches(priority, batch_format="pyarrow"),
+                "priority", k, descending=True, tie_col="doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+                  / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS priority
+  FROM documents)
+SELECT doc_id, n_chars, priority FROM p
+QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id ASC) <= 100
+"""
+
+
 def q_source_lang_mi(sf_dir: str):
     """Mutual information between source and language
     (aggregate/stats.py mutual_information): single-scalar association
@@ -5043,6 +5082,7 @@ def queries() -> dict:
         "lang_ttr": q_lang_ttr,
         "event_burstiness": q_event_burstiness,
         "zipf_slope": q_zipf_slope,
+        "weighted_sample": q_weighted_sample,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5254,4 +5294,5 @@ def oracle_sql() -> dict:
         "lang_ttr": SQL_LANG_TTR,
         "event_burstiness": SQL_EVENT_BURSTINESS,
         "zipf_slope": SQL_ZIPF_SLOPE,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
     }
