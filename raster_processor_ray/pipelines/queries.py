@@ -4924,6 +4924,44 @@ QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id ASC) <= 100
 """
 
 
+def q_lang_weighted_sample(sf_dir: str, *, k: int = 10):
+    """Stratified weighted sampling: the A-Res priority of
+    weighted_sample, but top-k PER LANGUAGE via grouped_topk (per-group
+    partial top-k, one bounded exchange — no global sort). The
+    balanced-mixture sampler: every stratum contributes exactly k docs,
+    weight-biased within the stratum, byte-identical reruns."""
+    from ..aggregate.relational import grouped_topk
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+
+    def priority(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        w = np.asarray(b["n_chars"], dtype=np.float64)
+        u = ((did * np.int64(2654435761)) % np.int64(4294967296)
+             ).astype(np.float64)
+        u = (u + 0.5) / 4294967296.0
+        pr = np.log(u) / w
+        out = b.select(["doc_id", "lang", "n_chars"])
+        return out.append_column("priority", pa.array(np.round(pr, 9)))
+
+    return grouped_topk(ds.map_batches(priority, batch_format="pyarrow"),
+                        "lang", "priority", k, tie_col="doc_id")
+
+
+SQL_LANG_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+                  / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS priority
+  FROM documents)
+SELECT doc_id, lang, n_chars, priority FROM p
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY priority DESC, doc_id ASC) <= 10
+"""
+
+
 def q_source_lang_mi(sf_dir: str):
     """Mutual information between source and language
     (aggregate/stats.py mutual_information): single-scalar association
@@ -5083,6 +5121,7 @@ def queries() -> dict:
         "event_burstiness": q_event_burstiness,
         "zipf_slope": q_zipf_slope,
         "weighted_sample": q_weighted_sample,
+        "lang_weighted_sample": q_lang_weighted_sample,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5295,4 +5334,5 @@ def oracle_sql() -> dict:
         "event_burstiness": SQL_EVENT_BURSTINESS,
         "zipf_slope": SQL_ZIPF_SLOPE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "lang_weighted_sample": SQL_LANG_WEIGHTED_SAMPLE,
     }
