@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "salted_topk_docs", "unpivot_metrics", "price_histogram",
     "value_outliers", "source_lang_entropy", "lang_drift", "lang_gini",
     "source_lang_mi", "user_lag_corr", "lang_ttr", "event_burstiness",
-    "zipf_slope", "weighted_sample", "lang_weighted_sample",
+    "zipf_slope", "weighted_sample", "lang_weighted_sample", "value_mad",
 ]
 
 

@@ -4885,6 +4885,78 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_value_mad(sf_dir: str):
+    """Per-type median absolute deviation of event values — the robust
+    scale statistic next to value_quantiles. Two composed quantile_disc
+    passes (aggregate/quantiles.py: bounded value-histogram exchange,
+    NO global sort): pass 1 picks the exact discrete median per type,
+    pass 2 broadcasts it (dictionary-encoded lookup) and picks the
+    median of |x − m|. Everything is int64 cents — fully deterministic,
+    no float treatment needed."""
+    from ..aggregate.quantiles import quantile_disc
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "cents": pa.array(np.round(
+                np.asarray(b["value"]) * 100.0).astype(np.int64))})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    med = quantile_disc(cds, "event_type", "cents", [0.5]).to_pandas()
+    m = dict(zip(med["event_type"], med["q_50"].astype(np.int64)))
+
+    def absdev(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(b["event_type"].combine_chunks())
+        idx = np.asarray(enc.indices)
+        mm = np.array([m[t] for t in enc.dictionary.to_pylist()],
+                      dtype=np.int64)[idx]
+        ad = np.abs(np.asarray(b["cents"], dtype=np.int64) - mm)
+        return pa.table({"event_type": b["event_type"],
+                         "ad": pa.array(ad)})
+
+    mad = quantile_disc(cds.map_batches(absdev, batch_format="pyarrow"),
+                        "event_type", "ad", [0.5]).to_pandas()
+    out = med.merge(mad, on="event_type", suffixes=("_m", "_d"))
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "median_cents": out["q_50_m"].astype(np.int64),
+        "mad_cents": out["q_50_d"].astype(np.int64)})
+    import ray.data as _rd
+    return _rd.from_pandas(res)
+
+
+SQL_VALUE_MAD = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+r1 AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+med AS (
+  SELECT event_type,
+         min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT)
+                  THEN cents END) AS median_cents
+  FROM r1 GROUP BY 1),
+d AS (
+  SELECT v.event_type, abs(v.cents - med.median_cents) AS ad,
+         med.median_cents
+  FROM v JOIN med USING (event_type)),
+r2 AS (
+  SELECT event_type, ad, median_cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d)
+SELECT event_type,
+       CAST(min(median_cents) AS BIGINT) AS median_cents,
+       CAST(min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN ad END) AS BIGINT) AS mad_cents
+FROM r2 GROUP BY 1
+"""
+
+
 def q_weighted_sample(sf_dir: str, *, k: int = 100):
     """Deterministic weighted sampling without replacement (Efraimidis &
     Spirakis 2006 A-Res): each doc gets priority ln(u)/w — u a
@@ -5122,6 +5194,7 @@ def queries() -> dict:
         "zipf_slope": q_zipf_slope,
         "weighted_sample": q_weighted_sample,
         "lang_weighted_sample": q_lang_weighted_sample,
+        "value_mad": q_value_mad,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5335,4 +5408,5 @@ def oracle_sql() -> dict:
         "zipf_slope": SQL_ZIPF_SLOPE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "lang_weighted_sample": SQL_LANG_WEIGHTED_SAMPLE,
+        "value_mad": SQL_VALUE_MAD,
     }
