@@ -4885,6 +4885,51 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Exact duplicate-text rate per source: count per text (one
+    bounded exchange), partitioned hash_join back to the doc table
+    (both sides stay distributed — the text-count table is NOT
+    broadcastable at corpus scale), then one tiny per-source aggregate.
+    The rate is a division of two exact int64 counts — bit-identical.
+    The contamination dashboard number: which sources ship copies."""
+    from ..aggregate.relational import hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+    counts = hash_aggregate(docs.map_batches(
+        lambda b: b.select(["text"]), batch_format="pyarrow"),
+        "text", {"ct": (None, "count")})
+    joined = hash_join(docs, counts, on="text")
+
+    def is_dup(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "is_dup": (df["ct"].to_numpy(dtype=np.int64) > 1)
+            .astype(np.int64)})
+
+    agg = hash_aggregate(
+        joined.map_batches(is_dup, batch_format="pandas"), "source", {
+            "n_docs": (None, "count"), "n_dup_docs": ("is_dup", "sum")})
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nd = np.asarray(b["n_dup_docs"], dtype=np.float64)
+        n = np.asarray(b["n_docs"], dtype=np.float64)
+        return b.append_column("dup_rate", pa.array(np.round(nd / n, 6)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH c AS (SELECT text, count(*) AS ct FROM documents GROUP BY 1),
+j AS (SELECT d.source, CASE WHEN c.ct > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM documents d JOIN c USING (text))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       round(CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM j GROUP BY 1
+"""
+
+
 def q_value_mad(sf_dir: str):
     """Per-type median absolute deviation of event values — the robust
     scale statistic next to value_quantiles. Two composed quantile_disc
@@ -5195,6 +5240,7 @@ def queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "lang_weighted_sample": q_lang_weighted_sample,
         "value_mad": q_value_mad,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5409,4 +5455,5 @@ def oracle_sql() -> dict:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "lang_weighted_sample": SQL_LANG_WEIGHTED_SAMPLE,
         "value_mad": SQL_VALUE_MAD,
+        "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     }
