@@ -4885,6 +4885,48 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_token_budget(sf_dir: str):
+    """Per-source whitespace-token budget and share of corpus: the
+    mixture-weighting input (how many tokens each source contributes).
+    One fused pass (tokenize-count map-side, SQL-parity definition from
+    token_counts) -> bounded per-source aggregate -> share = exact
+    int64 division broadcast from the one-row total."""
+    from ..stages.text import token_count_batch
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        return t.select(["source", "n_ws_tokens"])
+
+    agg = hash_aggregate(ds.map_batches(counts, batch_format="pyarrow"),
+                         "source", {"n_docs": (None, "count"),
+                                    "n_tokens": ("n_ws_tokens", "sum")})
+    total = float(sum(r["n_tokens"] for r in agg.take_all()))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nt = np.asarray(b["n_tokens"], dtype=np.float64)
+        return b.append_column("token_share",
+                               pa.array(np.round(nt / total, 6)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH tc AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents),
+s AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens FROM tc GROUP BY 1),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / t.total, 6) AS token_share
+FROM s CROSS JOIN t
+"""
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Exact duplicate-text rate per source: count per text (one
     bounded exchange), partitioned hash_join back to the doc table
@@ -5241,6 +5283,7 @@ def queries() -> dict:
         "lang_weighted_sample": q_lang_weighted_sample,
         "value_mad": q_value_mad,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "token_budget": q_token_budget,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5456,4 +5499,5 @@ def oracle_sql() -> dict:
         "lang_weighted_sample": SQL_LANG_WEIGHTED_SAMPLE,
         "value_mad": SQL_VALUE_MAD,
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+        "token_budget": SQL_TOKEN_BUDGET,
     }
