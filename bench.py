@@ -84,7 +84,7 @@ BENCH_QUERIES = [
     "value_outliers", "source_lang_entropy", "lang_drift", "lang_gini",
     "source_lang_mi", "user_lag_corr", "lang_ttr", "event_burstiness",
     "zipf_slope", "weighted_sample", "lang_weighted_sample", "value_mad",
-    "dup_rate_by_source", "token_budget",
+    "dup_rate_by_source", "token_budget", "user_activity_histogram",
 ]
 
 

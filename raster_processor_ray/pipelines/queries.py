@@ -4885,6 +4885,42 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_user_activity_histogram(sf_dir: str):
+    """Distribution of per-user activity: events per user -> log2
+    buckets (floor(log2(n)) — exact at powers of two in IEEE, so both
+    engines bucket identically) -> count of users + event totals per
+    bucket. Two bounded aggregates; every output exact int64. The
+    engagement-shape diagnostic (how heavy is the heavy tail)."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    per_user = hash_aggregate(ds, "user_id", {"n": (None, "count")})
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.int64)
+        # floor(log2(n)): IEEE log2 is exact at powers of two and can't
+        # cross an integer boundary elsewhere, so this floor matches
+        # DuckDB's bit-for-bit for any int64 count >= 1
+        bucket = np.floor(np.log2(n)).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "n": pa.array(n)})
+
+    return hash_aggregate(
+        per_user.map_batches(bucketize, batch_format="pyarrow"), "bucket", {
+            "n_users": (None, "count"), "n_events": ("n", "sum"),
+            "min_events": ("n", "min"), "max_events": ("n", "max"),
+        }, num_buckets=2)
+
+
+SQL_USER_ACTIVITY_HISTOGRAM = """
+WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+b AS (SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket, n FROM pu)
+SELECT bucket, count(*) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(min(n) AS BIGINT) AS min_events,
+       CAST(max(n) AS BIGINT) AS max_events
+FROM b GROUP BY 1
+"""
+
+
 def q_token_budget(sf_dir: str):
     """Per-source whitespace-token budget and share of corpus: the
     mixture-weighting input (how many tokens each source contributes).
@@ -5284,6 +5320,7 @@ def queries() -> dict:
         "value_mad": q_value_mad,
         "dup_rate_by_source": q_dup_rate_by_source,
         "token_budget": q_token_budget,
+        "user_activity_histogram": q_user_activity_histogram,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5500,4 +5537,5 @@ def oracle_sql() -> dict:
         "value_mad": SQL_VALUE_MAD,
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "token_budget": SQL_TOKEN_BUDGET,
+        "user_activity_histogram": SQL_USER_ACTIVITY_HISTOGRAM,
     }
