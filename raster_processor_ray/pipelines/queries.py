@@ -4885,6 +4885,70 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_event_iat_median(sf_dir: str):
+    """Median inter-arrival time (microseconds) per event type: deltas
+    between consecutive events of a type (ordered by ts, event_id tie)
+    computed in a type-bucketed kernel — one vectorized shift per
+    bucket, exact int64 micros — then the exact discrete median via
+    quantile_disc (bounded value-histogram exchange, no global sort).
+    The stream-cadence diagnostic."""
+    from ..aggregate.quantiles import quantile_disc
+    from ..aggregate.relational import _key_bucket
+    from ..util import pin_for_shuffle
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts",
+                                               "event_id"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, ["event_type"], 16)
+        return df
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(["event_type", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True))
+        if len(df) < 2:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "iat_us": pd.Series([], dtype=np.int64)})
+        et = df["event_type"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = et[1:] == et[:-1]
+        return pd.DataFrame({"event_type": et[1:][same],
+                             "iat_us": (us[1:] - us[:-1])[same]})
+
+    d = (pin_for_shuffle(ds.map_batches(add_bucket, batch_format="pandas"))
+         .groupby("_bucket")
+         .map_groups(deltas, batch_format="pandas"))
+    out = quantile_disc(d, "event_type", "iat_us", [0.5])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["event_type" if c == "event_type" else "median_iat_us"
+             for c in b.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_EVENT_IAT_MEDIAN = """
+WITH o AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS iat_us
+  FROM events),
+d AS (SELECT event_type, iat_us FROM o WHERE iat_us IS NOT NULL),
+r AS (
+  SELECT event_type, iat_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY iat_us) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d)
+SELECT event_type,
+       CAST(min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN iat_us END) AS BIGINT) AS median_iat_us
+FROM r GROUP BY 1
+"""
+
+
 def q_user_activity_histogram(sf_dir: str):
     """Distribution of per-user activity: events per user -> log2
     buckets (floor(log2(n)) — exact at powers of two in IEEE, so both
@@ -5321,6 +5385,7 @@ def queries() -> dict:
         "dup_rate_by_source": q_dup_rate_by_source,
         "token_budget": q_token_budget,
         "user_activity_histogram": q_user_activity_histogram,
+        "event_iat_median": q_event_iat_median,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5538,4 +5603,5 @@ def oracle_sql() -> dict:
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "token_budget": SQL_TOKEN_BUDGET,
         "user_activity_histogram": SQL_USER_ACTIVITY_HISTOGRAM,
+        "event_iat_median": SQL_EVENT_IAT_MEDIAN,
     }
