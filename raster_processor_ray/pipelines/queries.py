@@ -4885,6 +4885,48 @@ WHERE k >= 2 AND (k * saa - sa * sa) > 0 AND (k * sbb - sb * sb) > 0
 """
 
 
+def q_order_seasonality(sf_dir: str):
+    """Seasonality of order volume per priority class: dispersion index
+    (aggregate/stats.py dispersion_index) of per-month order counts —
+    1 ≈ steady Poisson flow, >1 seasonal clumping. Months are exact
+    integer (year*12 + month) bins; int64-exact throughout."""
+    from ..aggregate.stats import dispersion_index
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderdate"])
+
+    def month_bin(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["o_orderdate"]).astype("datetime64[M]")
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = (d.astype(np.int64) % 12) + 1
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "month": pa.array(y * 12 + m)})
+
+    return dispersion_index(
+        ds.map_batches(month_bin, batch_format="pyarrow"),
+        "o_orderpriority", "month")
+
+
+SQL_ORDER_SEASONALITY = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS month,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT o_orderpriority, count(*) AS n,
+         sum(c) AS sc, sum(c * c) AS scc
+  FROM c GROUP BY 1)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_bins,
+       CAST(sc AS BIGINT) AS n_events,
+       round(CAST(n * (n * scc - sc * sc) AS DOUBLE)
+             / CAST((n - 1) * n * sc AS DOUBLE), 6) AS dispersion
+FROM s WHERE n >= 2
+"""
+
+
 def q_event_iat_median(sf_dir: str):
     """Median inter-arrival time (microseconds) per event type: deltas
     between consecutive events of a type (ordered by ts, event_id tie)
@@ -5386,6 +5428,7 @@ def queries() -> dict:
         "token_budget": q_token_budget,
         "user_activity_histogram": q_user_activity_histogram,
         "event_iat_median": q_event_iat_median,
+        "order_seasonality": q_order_seasonality,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5604,4 +5647,5 @@ def oracle_sql() -> dict:
         "token_budget": SQL_TOKEN_BUDGET,
         "user_activity_histogram": SQL_USER_ACTIVITY_HISTOGRAM,
         "event_iat_median": SQL_EVENT_IAT_MEDIAN,
+        "order_seasonality": SQL_ORDER_SEASONALITY,
     }
