@@ -85,7 +85,9 @@ BENCH_QUERIES = [
     "source_lang_mi", "user_lag_corr", "lang_ttr", "event_burstiness",
     "zipf_slope", "weighted_sample", "lang_weighted_sample", "value_mad",
     "dup_rate_by_source", "token_budget", "user_activity_histogram",
-    "event_iat_median", "order_seasonality",
+    "event_iat_median", "order_seasonality", "event_transitions",
+    "user_streaks", "benford_digits", "return_revenue_nation",
+    "parts_except",
 ]
 
 

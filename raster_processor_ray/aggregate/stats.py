@@ -465,3 +465,140 @@ def grouped_gini(ds, keys, cat_col: str, *, num_buckets: int = 32,
                                                batch_format="pandas"))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def transition_counts(ds, key: str, order_cols, state_col: str, *,
+                      num_buckets: int = 64, round_to: int | None = 6):
+    """First-order Markov transition statistics of a categorical state
+    stream: for each key's series ordered by ``order_cols``, count every
+    adjacent (prev_state, state) pair, then emit per-pair counts and the
+    row-normalized transition probability ``prob = n / Σ n over prev``.
+    The sequence-mining primitive behind session-flow analysis and
+    next-event models.
+
+    Scale shape: keys hash into buckets (the sessionize contract — each
+    key's full series lands in ONE ``map_groups`` call), the pair
+    extraction is one vectorized shift, and the emitted rows are ONE
+    (prev, state, n) partial per pair PER BUCKET — so the second
+    exchange moves at most ``num_buckets x |states|^2`` rows no matter
+    how large the input is. The final probability normalization runs on
+    the collected pair table (bounded by ``|states|^2``) in a single
+    group. Counts are exact int64 -> identical under any block order;
+    the probability is round-6 of a division of exact integers.
+
+    Output columns: ``prev_<state_col>``, ``<state_col>``, ``n``,
+    ``prob``.
+    """
+    from ..util import pin_for_shuffle
+    from .relational import _key_bucket, hash_aggregate
+
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    sort_cols = [key] + order_cols
+    prev_col = f"prev_{state_col}"
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, [key], num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(sort_cols, kind="mergesort")
+              .reset_index(drop=True))
+        empty = pd.DataFrame({prev_col: pd.Series([], dtype=object),
+                              state_col: pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        kv = df[key].to_numpy()
+        sv = df[state_col].to_numpy()
+        same = kv[1:] == kv[:-1]                 # adjacent rows, same key
+        if not same.any():
+            return empty
+        p = pd.DataFrame({prev_col: sv[:-1][same], state_col: sv[1:][same]})
+        return (p.groupby([prev_col, state_col], as_index=False,
+                          dropna=False, observed=True)
+                .size().rename(columns={"size": "n"}))
+
+    pair_partials = (pin_for_shuffle(ds.map_batches(add_bucket,
+                                                    batch_format="pandas"))
+                     .groupby("_bucket")
+                     .map_groups(per_bucket, batch_format="pandas"))
+    counts = hash_aggregate(pair_partials, [prev_col, state_col],
+                            {"n": ("n", "sum")}, num_buckets=num_buckets)
+
+    # the pair table is bounded by |states|^2 — one group normalizes it
+    def add_one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_one"] = 0
+        return df
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_one"])
+        tot = df.groupby(prev_col, dropna=False,
+                         observed=True)["n"].transform("sum")
+        prob = (df["n"].to_numpy(dtype=np.float64)
+                / tot.to_numpy(dtype=np.float64))
+        if round_to is not None:
+            prob = np.round(prob, round_to)
+        out = df[[prev_col, state_col]].copy()
+        out["n"] = df["n"].to_numpy(dtype=np.int64)
+        out["prob"] = prob
+        return out
+
+    return (counts.map_batches(add_one, batch_format="pandas")
+            .groupby("_one")
+            .map_groups(normalize, batch_format="pandas"))
+
+
+def longest_streak(ds, key: str, day_col: str, *, num_buckets: int = 64):
+    """Gaps-and-islands per key: the number of distinct active days and
+    the longest run of CONSECUTIVE days (``day_col`` is an integer day
+    index, e.g. days since epoch). The engagement-streak kernel — SQL's
+    ``day - row_number()`` island trick, distributed.
+
+    Scale shape: same bucketed contract as sessionize (each key's days
+    land in one ``map_groups`` call); inside the bucket the island
+    segmentation is fully vectorized (sorted unique (key, day) rows,
+    run boundaries where the key changes or the day step != 1, run
+    lengths from boundary-index diffs). All outputs are exact int64 —
+    no float anywhere, identical under any block order.
+
+    Output columns: ``<key>``, ``n_days``, ``max_streak``.
+    """
+    from ..util import pin_for_shuffle
+    from .relational import _key_bucket
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, [key], num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .drop_duplicates([key, day_col])
+              .sort_values([key, day_col], kind="mergesort")
+              .reset_index(drop=True))
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 "n_days": pd.Series([], dtype=np.int64),
+                                 "max_streak": pd.Series([], dtype=np.int64)})
+        kv = df[key].to_numpy()
+        dv = df[day_col].to_numpy(dtype=np.int64)
+        # new island at row 0, at key change, or where the day step != 1
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (kv[1:] != kv[:-1]) | (dv[1:] - dv[:-1] != 1)
+        starts = np.flatnonzero(brk)
+        lengths = np.diff(np.append(starts, len(df)))
+        run = pd.DataFrame({key: kv[starts], "_len": lengths})
+        g = run.groupby(key, as_index=False, dropna=False, observed=True)
+        agg = g.agg(n_days=("_len", "sum"), max_streak=("_len", "max"))
+        agg["n_days"] = agg["n_days"].astype(np.int64)
+        agg["max_streak"] = agg["max_streak"].astype(np.int64)
+        return agg
+
+    return (pin_for_shuffle(ds.map_batches(add_bucket,
+                                           batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

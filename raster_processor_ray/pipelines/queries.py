@@ -5344,6 +5344,234 @@ FROM z WHERE abs(zv) > 3
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix of the event stream
+    (aggregate/stats.py transition_counts): per-user ts-ordered
+    adjacent (prev_type, type) pairs -> global pair counts + row-
+    normalized transition probabilities. The session-flow kernel."""
+    from ..aggregate.stats import transition_counts
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds, "user_id", ["ts", "event_id"],
+                             "event_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH l AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event_type
+  FROM events),
+c AS (
+  SELECT prev_event_type, event_type, count(*) AS n
+  FROM l WHERE prev_event_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_event_type, event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_event_type) AS DOUBLE),
+             6) AS prob
+FROM c
+"""
+
+
+def q_user_streaks(sf_dir: str):
+    """Gaps-and-islands engagement streaks (aggregate/stats.py
+    longest_streak): per user, distinct active days and the longest run
+    of consecutive days — SQL's day - row_number() island trick as a
+    bucketed vectorized kernel, exact int64 end to end."""
+    from ..aggregate.stats import longest_streak
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_index(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["ts"]).astype("datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "day": pa.array(d)})
+
+    return longest_streak(ds.map_batches(day_index,
+                                         batch_format="pyarrow"),
+                          "user_id", "day")
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events),
+i AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d),
+r AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM r GROUP BY user_id
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit profile of order totals: count + share per
+    leading digit of floor(o_totalprice), against the Benford expected
+    mass log10(1 + 1/d). The fraud/data-entry screen every financial
+    curation pass runs. Digit extraction is an exact integer division
+    loop (never floor(log10(x)) — IEEE log10 is off-by-an-ulp at powers
+    of ten); share is round-6 of a division of exact int64 counts, and
+    the 9-row normalization runs in one group."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digit(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["o_totalprice"])
+        d = np.floor(v[v >= 1.0]).astype(np.int64)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table({"digit": pa.array(d)})
+
+    counts = hash_aggregate(ds.map_batches(digit, batch_format="pyarrow"),
+                            "digit", {"n": (None, "count")}, num_buckets=2)
+
+    def add_one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_one"] = 0
+        return df
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_one"])
+        n = df["n"].to_numpy(dtype=np.int64)
+        d = df["digit"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "digit": df["digit"].to_numpy(dtype=np.int64),
+            "n": n,
+            "share": np.round(n.astype(np.float64) / n.sum(), 6),
+            "benford_p": np.round(np.log10(1.0 + 1.0 / d), 6),
+        })
+
+    return (counts.map_batches(add_one, batch_format="pandas")
+            .groupby("_one")
+            .map_groups(normalize, batch_format="pandas"))
+
+
+SQL_BENFORD_DIGITS = """
+WITH f AS (
+  SELECT CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, count(*) AS n FROM f GROUP BY 1)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+         AS share,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+FROM c
+"""
+
+
+def q_return_revenue_nation(sf_dir: str):
+    """TPC-H Q10-flavored three-table star join: revenue lost to
+    returned items per customer nation. lineitem('R') -> orders is a
+    partitioned hash join (both sides large); the per-item stream is
+    pre-aggregated to per-customer partials BEFORE the customer join
+    (the shuffled row count drops from |items| to |customers|); nation
+    names attach via broadcast (25 rows). Revenue is quantized to cents
+    per row (the IEEE product is deterministic) so sums are exact
+    int64."""
+    from ..aggregate.relational import hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_returnflag"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.equal(b["l_returnflag"], "R"))
+        ep = np.asarray(b["l_extendedprice"])[keep]
+        dc = np.asarray(b["l_discount"])[keep]
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"].filter(pa.array(keep)),
+            "rev_cents": pa.array(cents)})
+
+    items = li.map_batches(rev, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    j1 = hash_join(items, orders, "l_orderkey")
+    per_cust = hash_aggregate(j1, "o_custkey", {
+        "n_items": (None, "count"),
+        "revenue_cents": ("rev_cents", "sum")})
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "nationkey": pc.cast(b["c_nationkey"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+    j2 = hash_join(per_cust, cust, "o_custkey")
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nation["nationkey"] = nation.n_nationkey.astype(np.int64)
+    named = broadcast_lookup(j2, nation[["nationkey", "n_name"]],
+                             "nationkey", ["n_name"])
+    out = hash_aggregate(named, "n_name", {
+        "n_items": ("n_items", "sum"),
+        "revenue_cents": ("revenue_cents", "sum")}, num_buckets=2)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_items"] = df.n_items.astype(np.int64)
+        df["revenue_cents"] = df.revenue_cents.astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_RETURN_REVENUE_NATION = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY n_name
+"""
+
+
+def q_parts_except(sf_dir: str):
+    """Set EXCEPT of two derived key sets (distinct parts shipped early
+    MINUS parts still shipping late): map-side distinct on each side,
+    one bucketed ANTI join, shuffle bounded by distinct keys — the
+    retired-SKU detector, dual of q_parts_intersect."""
+    from ..aggregate.relational import hash_join
+    from ..stages.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def keys_where(op, cutoff):
+        cut = np.datetime64(cutoff, "us")
+
+        def f(b: pa.Table) -> pa.Table:
+            mask = op(b["l_shipdate"], pa.scalar(cut))
+            return b.filter(mask).select(["l_partkey"])
+        return f
+
+    early_k = exact_dedup(
+        ds.map_batches(keys_where(pc.less, "1998-01-01"),
+                       batch_format="pyarrow"), "l_partkey")
+    late_k = exact_dedup(
+        ds.map_batches(keys_where(pc.greater_equal, "2001-01-01"),
+                       batch_format="pyarrow"), "l_partkey")
+    return hash_join(early_k, late_k, "l_partkey", how="anti")
+
+
+SQL_PARTS_EXCEPT = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate < '1998-01-01'
+EXCEPT
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate >= '2001-01-01'
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -5429,6 +5657,11 @@ def queries() -> dict:
         "user_activity_histogram": q_user_activity_histogram,
         "event_iat_median": q_event_iat_median,
         "order_seasonality": q_order_seasonality,
+        "event_transitions": q_event_transitions,
+        "user_streaks": q_user_streaks,
+        "benford_digits": q_benford_digits,
+        "return_revenue_nation": q_return_revenue_nation,
+        "parts_except": q_parts_except,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5648,4 +5881,9 @@ def oracle_sql() -> dict:
         "user_activity_histogram": SQL_USER_ACTIVITY_HISTOGRAM,
         "event_iat_median": SQL_EVENT_IAT_MEDIAN,
         "order_seasonality": SQL_ORDER_SEASONALITY,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
+        "user_streaks": SQL_USER_STREAKS,
+        "benford_digits": SQL_BENFORD_DIGITS,
+        "return_revenue_nation": SQL_RETURN_REVENUE_NATION,
+        "parts_except": SQL_PARTS_EXCEPT,
     }
