@@ -87,7 +87,7 @@ BENCH_QUERIES = [
     "dup_rate_by_source", "token_budget", "user_activity_histogram",
     "event_iat_median", "order_seasonality", "event_transitions",
     "user_streaks", "benford_digits", "return_revenue_nation",
-    "parts_except",
+    "parts_except", "rolling_active_users", "source_similarity",
 ]
 
 

@@ -5572,6 +5572,96 @@ SELECT DISTINCT l_partkey FROM lineitem WHERE l_shipdate >= '2001-01-01'
 """
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per observed day (WAU —
+    stages/windows.py rolling_distinct_count): a windowed DISTINCT is
+    not partial-summable, so each distinct (user, day) pair fans out to
+    the 7 window-end days it covers and an exact per-day count-distinct
+    finishes. Exchange bounded by distinct pairs x 7, never raw
+    events."""
+    from ..stages.windows import rolling_distinct_count
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_index(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["ts"]).astype("datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "day": pa.array(d)})
+
+    return rolling_distinct_count(
+        ds.map_batches(day_index, batch_format="pyarrow"),
+        "day", "user_id", window=7, out="wau")
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM d),
+w AS (SELECT days.day AS day, d.user_id
+      FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day)
+SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM w GROUP BY day
+"""
+
+
+def q_source_similarity(sf_dir: str):
+    """Pairwise cosine similarity between per-source language-count
+    profiles: which corpus sources have the same language mix. One
+    counting pass bounds the data to the (source, lang) table; the
+    pairwise step runs on that tiny profile matrix in a single group
+    (exact int64 matmul — dot products and norms are order-free
+    integers; only the final cosine divides as double, identically in
+    both engines). Pairs sharing no language (dot = 0) are omitted,
+    matching the SQL inner join on lang."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+    counts = hash_aggregate(ds, ["source", "lang"],
+                            {"c": (None, "count")}, num_buckets=4)
+
+    def add_one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_one"] = 0
+        return df
+
+    def pairwise(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_one"])
+        piv = df.pivot_table(index="source", columns="lang", values="c",
+                             fill_value=0, aggfunc="sum")
+        m = piv.to_numpy(dtype=np.int64)
+        srcs = piv.index.to_numpy()           # sorted ascending by pivot
+        dot = m @ m.T                         # exact int64 Gram matrix
+        n2 = np.diag(dot)
+        ai, bi = np.triu_indices(len(srcs), k=1)
+        d = dot[ai, bi]
+        keep = d > 0
+        ai, bi, d = ai[keep], bi[keep], d[keep]
+        cos = (d.astype(np.float64)
+               / (np.sqrt(n2[ai].astype(np.float64))
+                  * np.sqrt(n2[bi].astype(np.float64))))
+        return pd.DataFrame({"source_a": srcs[ai], "source_b": srcs[bi],
+                             "cosine": np.round(cos, 6)})
+
+    return (counts.map_batches(add_one, batch_format="pandas")
+            .groupby("_one")
+            .map_groups(pairwise, batch_format="pandas"))
+
+
+SQL_SOURCE_SIMILARITY = """
+WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+n AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY 1),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      FROM c a JOIN c b ON a.lang = b.lang AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.source_a, p.source_b,
+       round(CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS cosine
+FROM p JOIN n na ON na.source = p.source_a
+       JOIN n nb ON nb.source = p.source_b
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -5662,6 +5752,8 @@ def queries() -> dict:
         "benford_digits": q_benford_digits,
         "return_revenue_nation": q_return_revenue_nation,
         "parts_except": q_parts_except,
+        "rolling_active_users": q_rolling_active_users,
+        "source_similarity": q_source_similarity,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5886,4 +5978,6 @@ def oracle_sql() -> dict:
         "benford_digits": SQL_BENFORD_DIGITS,
         "return_revenue_nation": SQL_RETURN_REVENUE_NATION,
         "parts_except": SQL_PARTS_EXCEPT,
+        "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+        "source_similarity": SQL_SOURCE_SIMILARITY,
     }

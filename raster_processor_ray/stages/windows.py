@@ -307,3 +307,57 @@ def keyed_rank(ds, key: str, order_col: str, *, descending: bool = False,
     return (pin_for_shuffle(_with_bucket(ds, key, num_buckets))
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def rolling_distinct_count(ds, day_col: str, id_col: str, *,
+                           window: int, out: str = "n_distinct",
+                           num_buckets: int = 32):
+    """Rolling ``window``-day COUNT(DISTINCT id): for each OBSERVED day
+    d, the number of distinct ids seen in [d-window+1, d] — the rolling
+    WAU/MAU metric. A windowed DISTINCT is not decomposable into
+    partial sums (the same id must not double-count across days), so
+    the distributed shape is the expansion trick: each locally-distinct
+    (id, day) pair fans out to the ``window`` target days it covers,
+    and one exact count-distinct per target day finishes the job.
+
+    Scale shape: batches dedup (id, day) map-side BEFORE the xW fan-out
+    (the expansion factor is the window length, a small constant);
+    targets outside the observed-day set are dropped map-side against a
+    broadcast sorted day array (days are bounded — years of data is
+    thousands of int64s); the final exchange is count_distinct's,
+    bounded by distinct (day, id) pairs x W, never raw rows. Input
+    ``ds`` is consumed twice (once for the tiny observed-day table,
+    once for the expansion) and is pinned here so upstream work runs
+    once.
+
+    Output columns: ``<day_col>`` (int64), ``<out>`` (int64).
+    """
+    import pandas as pd
+
+    from ..aggregate.relational import count_distinct, hash_aggregate
+    from ..util import pin_for_shuffle
+
+    ds = pin_for_shuffle(ds)
+    days_df = hash_aggregate(ds, day_col, {"_n": (None, "count")},
+                             num_buckets=4).to_pandas()
+    observed = np.sort(days_df[day_col].to_numpy(dtype=np.int64))
+    w = int(window)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, day_col]].drop_duplicates()
+        ids = np.repeat(df[id_col].to_numpy(), w)
+        base = np.repeat(df[day_col].to_numpy(dtype=np.int64), w)
+        t = base + np.tile(np.arange(w, dtype=np.int64), len(df))
+        keep = np.isin(t, observed)
+        return pd.DataFrame({day_col: t[keep], id_col: ids[keep]})
+
+    expanded = ds.map_batches(expand, batch_format="pandas")
+    res = count_distinct(expanded, day_col, id_col, out=out,
+                         num_buckets=num_buckets)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df[day_col] = df[day_col].astype(np.int64)
+        df[out] = df[out].astype(np.int64)
+        return df
+
+    return res.map_batches(fin, batch_format="pandas")
