@@ -5662,6 +5662,174 @@ FROM p JOIN n na ON na.source = p.source_a
 """
 
 
+def q_label_embed_centroid(sf_dir: str):
+    """Per-label embedding centroid with an EXACT SQL oracle — the one
+    list-column computation the oracle can check value-for-value
+    (every other embedding query is rows-only). Map side: the list
+    column flattens zero-copy to an (n x 64) float32 block, widens to
+    double (exact), quantizes to int64 micro-units and pre-sums per
+    label with np.add.at — partials are (label, dim, Σu, n) rows. One
+    bounded exchange (labels x dims), then mean_u/1e6 with the same
+    division order as the SQL."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = np.asarray(b["label"]).astype(np.int64)
+        arr = b["embedding"].combine_chunks()
+        vals = np.asarray(arr.flatten(), dtype=np.float64)
+        dim = len(vals) // max(len(lab), 1)
+        m = np.floor(vals * 1e6 + 0.5).astype(np.int64).reshape(-1, dim)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), dim), dtype=np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, dim))})
+
+    agg = hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["label", "dim"], {"s": ("s", "sum"),
+                                            "n": ("n", "sum")},
+                         num_buckets=4)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(dtype=np.float64)
+        n = df["n"].to_numpy(dtype=np.float64)
+        # NO rounding: s and n are identical exact integers in both
+        # engines, so s/n/1e6 is the identical IEEE double — rounding
+        # would only hurt (np.round is half-even, SQL round half-away,
+        # and exact .5 boundaries DO occur for small-denominator means)
+        return pd.DataFrame({
+            "label": df["label"].to_numpy(dtype=np.int64),
+            "dim": df["dim"].to_numpy(dtype=np.int64),
+            "n": df["n"].to_numpy(dtype=np.int64),
+            "centroid": s / n / 1e6})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_LABEL_EMBED_CENTROID = """
+WITH e AS (
+  SELECT label, t.i AS dim,
+         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS u
+  FROM embeddings, unnest(range(64)) AS t(i))
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0 AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket association over the event stream: for each pair
+    of event types co-occurring in the same (user, hour) basket, the
+    co-occurrence count and the lift
+    ``P(ab) / (P(a) P(b)) = n_ab * N / (n_a * n_b)``. Scale shape:
+    distinct (user, hour, type) triples only (map-side dedup bounds
+    every batch), ONE bucketed exchange co-locating each basket, a
+    vectorized within-bucket self-merge whose fan-out is bounded by
+    types-per-basket squared (types are a small vocabulary), then a
+    tiny pair aggregate; marginals and the basket total are broadcast
+    into the finalize. Counts exact int64; lift is round-6 with the
+    same operation order in both engines."""
+    from ..aggregate.relational import _key_bucket
+    from ..util import pin_for_shuffle
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def basket(b: pa.Table) -> pa.Table:
+        h = (np.asarray(b["ts"]).astype("datetime64[h]")
+             .astype(np.int64))
+        t = pa.table({"user_id": b["user_id"], "hour": pa.array(h),
+                      "event_type": b["event_type"]})
+        # map-side dedup before the exchange
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    d = pin_for_shuffle(ds.map_batches(basket, batch_format="pyarrow"))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        df["_bucket"] = _key_bucket(df, ["user_id", "hour"], 32)
+        return df
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_bucket"]).drop_duplicates()
+
+    # global distinct (user, hour, type) triples: duplicates of a triple
+    # share the basket, so one basket-keyed exchange dedups globally
+    trip = (pin_for_shuffle(d.map_batches(add_bucket,
+                                          batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(dedup_bucket, batch_format="pandas"))
+    trip = pin_for_shuffle(trip)
+
+    # marginals (types are a small vocabulary) + basket total: tiny
+    n_a = hash_aggregate(trip, "event_type", {"n": (None, "count")},
+                         num_buckets=2).to_pandas()
+    n_baskets = hash_aggregate(trip, ["user_id", "hour"],
+                               {"n": (None, "count")},
+                               num_buckets=8).count()
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_bucket"])
+        m = df.merge(df, on=["user_id", "hour"], suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        return (m.groupby(["event_type_a", "event_type_b"],
+                          as_index=False, observed=True)
+                .size().rename(columns={"size": "n"})
+                .rename(columns={"event_type_a": "type_a",
+                                 "event_type_b": "type_b"}))
+
+    pair_partials = (pin_for_shuffle(trip.map_batches(
+        add_bucket, batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(pair_bucket, batch_format="pandas"))
+    pairs = hash_aggregate(pair_partials, ["type_a", "type_b"],
+                           {"n_ab": ("n", "sum")}, num_buckets=2)
+
+    marg = dict(zip(n_a["event_type"], n_a["n"].astype(np.int64)))
+    total = float(n_baskets)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["type_a"].map(marg).to_numpy(dtype=np.float64)
+        nb = df["type_b"].map(marg).to_numpy(dtype=np.float64)
+        nab = df["n_ab"].to_numpy(dtype=np.float64)
+        df = df.copy(deep=False)
+        df["n_ab"] = df["n_ab"].astype(np.int64)
+        df["lift"] = np.round((nab * total) / (na * nb), 6)
+        return df[["type_a", "type_b", "n_ab", "lift"]]
+
+    return pairs.map_batches(finalize, batch_format="pandas")
+
+
+SQL_EVENT_COOCCURRENCE = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type
+  FROM events),
+t AS (SELECT count(*) AS n
+      FROM (SELECT DISTINCT user_id, hour FROM d)),
+a AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+             count(*) AS n
+      FROM d x JOIN d y USING (user_id, hour)
+      WHERE x.event_type < y.event_type
+      GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, CAST(p.n AS BIGINT) AS n_ab,
+       round((CAST(p.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+             / (CAST(a1.n AS DOUBLE) * CAST(a2.n AS DOUBLE)), 6) AS lift
+FROM p JOIN a a1 ON a1.event_type = p.type_a
+       JOIN a a2 ON a2.event_type = p.type_b
+       CROSS JOIN t
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -5754,6 +5922,8 @@ def queries() -> dict:
         "parts_except": q_parts_except,
         "rolling_active_users": q_rolling_active_users,
         "source_similarity": q_source_similarity,
+        "label_embed_centroid": q_label_embed_centroid,
+        "event_cooccurrence": q_event_cooccurrence,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -5980,4 +6150,6 @@ def oracle_sql() -> dict:
         "parts_except": SQL_PARTS_EXCEPT,
         "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
         "source_similarity": SQL_SOURCE_SIMILARITY,
+        "label_embed_centroid": SQL_LABEL_EMBED_CENTROID,
+        "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
     }
