@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     "event_iat_median", "order_seasonality", "event_transitions",
     "user_streaks", "benford_digits", "return_revenue_nation",
     "parts_except", "rolling_active_users", "source_similarity",
-    "label_embed_centroid", "event_cooccurrence",
+    "label_embed_centroid", "event_cooccurrence", "link_hops",
 ]
 
 

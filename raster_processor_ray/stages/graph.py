@@ -299,3 +299,60 @@ def triangle_stats(docs, n_nodes: int, *, num_buckets: int = 32) -> pd.DataFrame
     return pd.DataFrame({"n_edges": [np.int64(n_edges)],
                          "n_wedges": [np.int64(n_wedges)],
                          "n_triangles": [np.int64(n_tri)]})
+
+
+def bfs_hops(docs, n_nodes: int, seed_pred, *, max_hops: int = 3,
+             num_buckets: int = 32):
+    """Multi-source BFS hop distance over the synthetic link graph:
+    every node reachable from the seed set within ``max_hops`` gets its
+    MINIMUM hop count (seeds are hop 0). The trust-propagation /
+    crawl-frontier primitive; the SQL mirror is a bounded recursive CTE
+    with min(hops).
+
+    Distributed shape (textbook frontier BFS): each iteration expands
+    the CURRENT frontier only — edge fan-out is a pure map (edges
+    derive arithmetically from the node id, stages/graph.py:80), the
+    candidate set dedups in one bucketed exchange, and an ANTI join
+    against the visited set keeps first-reached nodes only, so a node's
+    edges are expanded exactly once across the whole run. Per-iteration
+    cost is O(frontier x out_deg), never O(V); iterations are bounded
+    by ``max_hops``. Frontier/visited pin between rounds (the sets are
+    node ids only).
+    """
+    from ..aggregate.relational import hash_join
+    from .dedup import exact_dedup
+
+    def seed_map(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[seed_pred(ids)])})
+
+    def add_hops(h: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "hops", pa.array(np.full(b.num_rows, h, dtype=np.int64)))
+        return f
+
+    def expand(b: pa.Table) -> pa.Table:
+        _, dst, _ = _emit_edges(np.asarray(b["doc_id"]), n_nodes)
+        return pa.table({"doc_id": pa.array(np.unique(dst))})
+
+    frontier = pin_for_shuffle(docs.map_batches(seed_map,
+                                                batch_format="pyarrow"))
+    visited = frontier
+    levels = [frontier.map_batches(add_hops(0), batch_format="pyarrow")]
+    for h in range(1, max_hops + 1):
+        cand = exact_dedup(frontier.map_batches(expand,
+                                                batch_format="pyarrow"),
+                           "doc_id", num_buckets=num_buckets)
+        new = pin_for_shuffle(hash_join(cand, visited, "doc_id",
+                                        how="anti",
+                                        num_buckets=num_buckets))
+        if new.count() == 0:
+            break
+        levels.append(new.map_batches(add_hops(h), batch_format="pyarrow"))
+        frontier = new
+        visited = pin_for_shuffle(visited.union(new))
+    res = levels[0]
+    for lv in levels[1:]:
+        res = res.union(lv)
+    return res
