@@ -5866,6 +5866,70 @@ FROM reach GROUP BY node
 """
 
 
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit across every foreign-key edge of the
+    star schema: child-row count and orphan count (child keys with no
+    parent) per FK — the pre-ingest contract check a warehouse runs on
+    every load. Each FK is one distributed ANTI join of the child's
+    DISTINCT keys against the parent key set (shuffle bounded by
+    distinct keys); the result is a four-row summary."""
+    from ..aggregate.relational import hash_join
+    from ..stages.dedup import exact_dedup
+
+    fks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    rows = []
+    for name, child, ck, parent, pk in fks:
+        c = read_table(sf_dir, child, columns=[ck])
+        n_child = c.count()
+        ckeys = exact_dedup(
+            c.map_batches(lambda b, _k=ck: pa.table(
+                {"k": pc.cast(b[_k], pa.int64())}), batch_format="pyarrow"),
+            "k", num_buckets=8)
+        p = read_table(sf_dir, parent, columns=[pk])
+        pkeys = p.map_batches(lambda b, _k=pk: pa.table(
+            {"k": pc.cast(b[_k], pa.int64())}), batch_format="pyarrow")
+        orphan_keys = hash_join(ckeys, pkeys, "k", how="anti",
+                                num_buckets=8)
+        rows.append((name, int(n_child), int(orphan_keys.count())))
+    return pd.DataFrame(rows, columns=["fk", "n_child", "n_orphan_keys"])
+
+
+SQL_FK_INTEGRITY = """
+SELECT 'orders.o_custkey->customer' AS fk,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+        WHERE NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = c.o_custkey)) AS n_orphan_keys
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = c.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+        WHERE NOT EXISTS (SELECT 1 FROM part
+                          WHERE p_partkey = c.l_partkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        WHERE NOT EXISTS (SELECT 1 FROM nation
+                          WHERE n_nationkey = c.c_nationkey))
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -5961,6 +6025,7 @@ def queries() -> dict:
         "label_embed_centroid": q_label_embed_centroid,
         "event_cooccurrence": q_event_cooccurrence,
         "link_hops": q_link_hops,
+        "fk_integrity": q_fk_integrity,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -6190,4 +6255,5 @@ def oracle_sql() -> dict:
         "label_embed_centroid": SQL_LABEL_EMBED_CENTROID,
         "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
         "link_hops": _sql_link_hops(),
+        "fk_integrity": SQL_FK_INTEGRITY,
     }
