@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "user_streaks", "benford_digits", "return_revenue_nation",
     "parts_except", "rolling_active_users", "source_similarity",
     "label_embed_centroid", "event_cooccurrence", "link_hops",
-    "fk_integrity",
+    "fk_integrity", "region_revenue", "user_twap",
 ]
 
 

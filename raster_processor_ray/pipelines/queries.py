@@ -5930,6 +5930,167 @@ SELECT 'customer.c_nationkey->nation',
 """
 
 
+def q_region_revenue(sf_dir: str):
+    """TPC-H-Q5-flavored revenue rollup to the REGION level — the one
+    query that exercises the region dimension (region -> nation ->
+    customer -> orders -> lineitem). Fact-side joins are partitioned
+    hash joins with the per-item stream pre-aggregated to per-customer
+    partials first; the nation x region dimension chain (25 + 5 rows)
+    joins driver-side and broadcasts. Revenue quantized to cents per
+    row -> exact int64 sums."""
+    from ..aggregate.relational import hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    def rev(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"]
+        keep = np.asarray(pc.and_(pc.greater_equal(sd, pa.scalar(lo)),
+                                  pc.less(sd, pa.scalar(hi))))
+        ep = np.asarray(b["l_extendedprice"])[keep]
+        dc = np.asarray(b["l_discount"])[keep]
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"].filter(pa.array(keep)),
+            "rev_cents": pa.array(cents)})
+
+    items = li.map_batches(rev, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    j1 = hash_join(items, orders, "l_orderkey")
+    per_cust = hash_aggregate(j1, "o_custkey", {
+        "n_items": (None, "count"),
+        "revenue_cents": ("rev_cents", "sum")})
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"],
+                            "nationkey": pc.cast(b["c_nationkey"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+    j2 = hash_join(per_cust, cust, "o_custkey")
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+    dim["nationkey"] = dim.n_nationkey.astype(np.int64)
+    named = broadcast_lookup(j2, dim[["nationkey", "r_name"]],
+                             "nationkey", ["r_name"])
+    out = hash_aggregate(named, "r_name", {
+        "n_items": ("n_items", "sum"),
+        "revenue_cents": ("revenue_cents", "sum")}, num_buckets=2)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_items"] = df.n_items.astype(np.int64)
+        df["revenue_cents"] = df.revenue_cents.astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY r_name
+"""
+
+
+def q_user_twap(sf_dir: str):
+    """Time-weighted average value per user (TWAP — the finance /
+    telemetry aggregate where a reading holds until the next one):
+    each event's cents value is weighted by the WHOLE seconds until
+    the user's next event; the last event of a stream carries no
+    weight. Same bucketed contract as sessionize (one vectorized
+    shift per bucket); Σ cents x sec and Σ sec are exact int64, so the
+    zero-duration drop rule and the final round-6 division are
+    identical under any block order. Overflow bound: cents ≤ 5e4,
+    per-delta seconds ≤ 3e6, rows per user ≤ 1e5 -> Σ ≤ 1.5e16."""
+    from ..aggregate.relational import _key_bucket
+    from ..util import pin_for_shuffle
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_bucket"] = _key_bucket(df, ["user_id"], 32)
+        return df
+
+    def holds(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_bucket"])
+              .sort_values(["user_id", "ts", "event_id"],
+                           kind="mergesort").reset_index(drop=True))
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                              "sv": pd.Series([], dtype=np.int64),
+                              "sd": pd.Series([], dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        uv = df["user_id"].to_numpy()
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        same = uv[1:] == uv[:-1]
+        dur = (us[1:] - us[:-1])[same] // 1_000_000   # whole seconds
+        v = cents[:-1][same]
+        p = pd.DataFrame({"user_id": uv[:-1][same],
+                          "_sv": v * dur, "_sd": dur})
+        return (p.groupby("user_id", as_index=False, observed=True)
+                .agg(sv=("_sv", "sum"), sd=("_sd", "sum")))
+
+    partials = (pin_for_shuffle(ds.map_batches(add_bucket,
+                                               batch_format="pandas"))
+                .groupby("_bucket")
+                .map_groups(holds, batch_format="pandas"))
+    agg = hash_aggregate(partials, "user_id",
+                         {"sv": ("sv", "sum"), "sd": ("sd", "sum")},
+                         num_buckets=8)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sd"] > 0].copy()
+        sv = df["sv"].to_numpy(dtype=np.float64)
+        sd = df["sd"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "held_secs": df["sd"].to_numpy(dtype=np.int64),
+            "twap_cents": np.round(sv / sd, 6)})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_USER_TWAP = """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+h AS (
+  SELECT user_id, cents,
+         (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000 AS dur
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, CAST(sum(cents * dur) AS BIGINT) AS sv,
+         CAST(sum(dur) AS BIGINT) AS sd
+  FROM h WHERE dur IS NOT NULL GROUP BY 1)
+SELECT user_id, sd AS held_secs,
+       round(CAST(sv AS DOUBLE) / CAST(sd AS DOUBLE), 6) AS twap_cents
+FROM s WHERE sd > 0
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -6026,6 +6187,8 @@ def queries() -> dict:
         "event_cooccurrence": q_event_cooccurrence,
         "link_hops": q_link_hops,
         "fk_integrity": q_fk_integrity,
+        "region_revenue": q_region_revenue,
+        "user_twap": q_user_twap,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -6256,4 +6419,6 @@ def oracle_sql() -> dict:
         "event_cooccurrence": SQL_EVENT_COOCCURRENCE,
         "link_hops": _sql_link_hops(),
         "fk_integrity": SQL_FK_INTEGRITY,
+        "region_revenue": SQL_REGION_REVENUE,
+        "user_twap": SQL_USER_TWAP,
     }
