@@ -89,7 +89,8 @@ BENCH_QUERIES = [
     "user_streaks", "benford_digits", "return_revenue_nation",
     "parts_except", "rolling_active_users", "source_similarity",
     "label_embed_centroid", "event_cooccurrence", "link_hops",
-    "fk_integrity", "region_revenue", "user_twap",
+    "fk_integrity", "region_revenue", "user_twap", "brand_skyline",
+    "order_growth",
 ]
 
 

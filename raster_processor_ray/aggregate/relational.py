@@ -565,3 +565,53 @@ def unpivot(ds, id_cols, value_cols: list[str], *, name_col: str = "metric",
         return pa.concat_tables(pieces)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_skyline_2d(ds, keys, x_col: str, y_col: str, *,
+                       num_buckets: int = 16):
+    """Per-group 2-D Pareto frontier (skyline): the rows not STRICTLY
+    dominated within their group, minimizing ``x_col`` and maximizing
+    ``y_col`` (q dominates p iff q.x <= p.x, q.y >= p.y, and at least
+    one is strict). Callers negate a column to flip its direction. The
+    multi-objective shortlist operator (cheapest-vs-best tradeoffs).
+
+    Scale shape — textbook two-phase skyline: every batch reduces to
+    its LOCAL skyline first (a local skyline is a superset filter: any
+    point dominated within a batch is dominated globally), then one
+    bucketed exchange co-locates each group's candidates and the same
+    sweep finishes. The sweep is fully vectorized (sort by group/x/y,
+    per-(group, x) max-y, ascending-x running-max comparison) — no
+    pairwise O(n^2) anywhere. Candidate volume after phase 1 is the
+    sum of per-batch frontier sizes (small for correlated dimensions;
+    worst case anti-correlated data degrades to the input size, as for
+    every skyline algorithm).
+
+    Output: ``keys + [x_col, y_col]``, distinct frontier points.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys + [x_col, y_col]].sort_values(
+            keys + [x_col, y_col], kind="mergesort")
+        # per (group, x) only the max-y point can survive
+        df = df[~df.duplicated(keys + [x_col], keep="last")]
+        gy = df.groupby(keys, dropna=False, observed=True)[y_col]
+        cm = gy.cummax()
+        prevmax = cm.groupby([df[k] for k in keys]).shift(1)
+        keep = prevmax.isna() | (df[y_col] > prevmax)
+        return df[keep.to_numpy()].reset_index(drop=True)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = sweep(df)
+        out = out.copy(deep=False)
+        out["_bucket"] = _key_bucket(out, keys, num_buckets)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return sweep(df.drop(columns=["_bucket"]))
+
+    from ..util import pin_for_shuffle
+
+    return (pin_for_shuffle(ds.map_batches(local, batch_format="pandas"))
+            .groupby("_bucket")
+            .map_groups(final, batch_format="pandas"))

@@ -6091,6 +6091,117 @@ FROM s WHERE sd > 0
 """
 
 
+def q_brand_skyline(sf_dir: str):
+    """Per-brand 2-D Pareto frontier (aggregate/relational.py
+    grouped_skyline_2d): the parts not strictly dominated within their
+    brand, minimizing retail price and maximizing size — the
+    cheapest-vs-biggest shortlist. Two-phase distributed skyline:
+    batch-local frontiers first, one brand-keyed exchange, same
+    vectorized sweep finishes. All-int64 output, no rounding."""
+    from ..aggregate.relational import grouped_skyline_2d
+
+    ds = read_table(sf_dir, "part",
+                    columns=["p_brand", "p_retailprice", "p_size"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = np.floor(np.asarray(b["p_retailprice"]) * 100.0
+                           + 0.5).astype(np.int64)
+        return pa.table({"p_brand": b["p_brand"],
+                         "price_c": pa.array(price_c),
+                         "size": pc.cast(b["p_size"], pa.int64())})
+
+    return grouped_skyline_2d(ds.map_batches(prep,
+                                             batch_format="pyarrow"),
+                              "p_brand", "price_c", "size")
+
+
+SQL_BRAND_SKYLINE = """
+WITH pts AS (
+  SELECT DISTINCT p_brand,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part),
+pts2 AS (SELECT p_brand, price_c, max(size) AS size
+         FROM pts GROUP BY 1, 2),
+w AS (SELECT p_brand, price_c, size,
+             max(size) OVER (PARTITION BY p_brand ORDER BY price_c ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prevmax
+      FROM pts2)
+SELECT p_brand, price_c, CAST(size AS BIGINT) AS size
+FROM w WHERE prevmax IS NULL OR size > prevmax
+"""
+
+
+def q_order_growth(sf_dir: str):
+    """Month-over-month order-volume growth per priority class — the
+    period-over-period KPI every BI layer computes. One bounded count
+    aggregate to (priority, month), then the tiny month series shifts
+    per priority in a single vectorized pass; growth is round-6 of a
+    division of exact integer counts, first month dropped exactly as
+    the SQL LAG produces NULL."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderdate"])
+
+    def month_bin(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["o_orderdate"]).astype("datetime64[M]")
+        y = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = (d.astype(np.int64) % 12) + 1
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "month": pa.array(y * 12 + m)})
+
+    counts = hash_aggregate(
+        ds.map_batches(month_bin, batch_format="pyarrow"),
+        ["o_orderpriority", "month"], {"n_orders": (None, "count")},
+        num_buckets=4)
+
+    def add_one(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_one"] = 0
+        return df
+
+    def growth(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns=["_one"])
+              .sort_values(["o_orderpriority", "month"],
+                           kind="mergesort").reset_index(drop=True))
+        prev = df.groupby("o_orderpriority", observed=True)["n_orders"].shift(1)
+        keep = prev.notna().to_numpy()
+        n = df["n_orders"].to_numpy(dtype=np.float64)[keep]
+        p = prev.to_numpy(dtype=np.float64)[keep]
+        out = df[keep].reset_index(drop=True)
+        # UNROUNDED: (n - p) / p of identical exact integers is the
+        # identical IEEE double in both engines; round-6 would diverge
+        # on boundaries like -3/384 = -0.0078125 (half-even vs
+        # half-away, the label_embed_centroid lesson)
+        return pd.DataFrame({
+            "o_orderpriority": out["o_orderpriority"],
+            "month": out["month"].astype(np.int64),
+            "n_orders": out["n_orders"].astype(np.int64),
+            "growth": (n - p) / p})
+
+    return (counts.map_batches(add_one, batch_format="pandas")
+            .groupby("_one")
+            .map_groups(growth, batch_format="pandas"))
+
+
+SQL_ORDER_GROWTH = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS month,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2),
+w AS (SELECT o_orderpriority, month, n,
+             LAG(n) OVER (PARTITION BY o_orderpriority
+                          ORDER BY month) AS p
+      FROM c)
+SELECT o_orderpriority, month, CAST(n AS BIGINT) AS n_orders,
+       (CAST(n AS DOUBLE) - CAST(p AS DOUBLE))
+             / CAST(p AS DOUBLE) AS growth
+FROM w WHERE p IS NOT NULL
+"""
+
+
 def queries() -> dict:
     """Registry order is deliberate: the driver's CORRECTNESS gate checks the
     FIRST 50 entries. Round 5 rotates the window one final time: positions
@@ -6189,6 +6300,8 @@ def queries() -> dict:
         "fk_integrity": q_fk_integrity,
         "region_revenue": q_region_revenue,
         "user_twap": q_user_twap,
+        "brand_skyline": q_brand_skyline,
+        "order_growth": q_order_growth,
         "repetition_stats": q_repetition_stats,
         "url_domains": q_url_domains,
         "lm_perplexity": q_lm_perplexity,
@@ -6421,4 +6534,6 @@ def oracle_sql() -> dict:
         "fk_integrity": SQL_FK_INTEGRITY,
         "region_revenue": SQL_REGION_REVENUE,
         "user_twap": SQL_USER_TWAP,
+        "brand_skyline": SQL_BRAND_SKYLINE,
+        "order_growth": SQL_ORDER_GROWTH,
     }
